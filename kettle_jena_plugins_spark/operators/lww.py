@@ -1,0 +1,115 @@
+"""Last-writer-wins reduction — the heart of the CDC apply.
+
+Reference analogue: Group-and-Merge's ``OtherFieldAction.USE_LAST``
+(OtherFieldAction.java:46, applied JenaGroupMergeStep.java:227-240), which the
+reference resolves by *arrival order* over consecutive sorted rows
+(isContinuation, JenaGroupMergeStep.java:381-407). We replace the implicit
+arrival order with a declared total order ``(ts, lsn)`` (north rule) so replay
+is deterministic under shuffling, out-of-order delivery, and duplicates.
+
+Scale design:
+- The default implementation is AGGREGATION-based (``max_by`` over an ordering
+  struct), NOT window+row_number: hash aggregation gets map-side partial
+  aggregation (partial ``max_by`` per input partition before the shuffle), so
+  with u updates/key only ~n_keys rows cross the wire instead of all n_events.
+  A window would sort entire key partitions and ship every row.
+- ``lww_reduce_salted`` adds an explicit two-phase pre-reduction keyed on
+  (key, salt) for hot-conversation skew (north rule). Phase 1 shrinks each hot
+  key to SALT rows; phase 2 is a tiny final reduce. Salting only touches the
+  pre-aggregation; the final reduce is unsalted per (conv_id, turn_idx), so
+  LWW semantics are unchanged (max is associative/commutative).
+- Determinism: the ordering struct is (ts, lsn, op) — lsn is unique per event
+  in a well-formed log; duplicates (same lsn redelivered) carry identical
+  payloads, and `op` breaks any residual tie totally for byte-identical replay.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..model import LWW_ORDER, MERGE_KEYS
+
+
+def _order_struct(order: Sequence[str]) -> Column:
+    return F.struct(*[F.col(c) for c in order], F.col("op"))
+
+
+def lww_reduce(
+    changes: DataFrame,
+    keys: Sequence[str] = MERGE_KEYS,
+    order: Sequence[str] = LWW_ORDER,
+) -> DataFrame:
+    """One row per key: the event that wins under the (ts, lsn) total order.
+
+    Output columns: keys + every non-key column of the input (including op,
+    lsn, ts) taken from the winning event.
+    """
+    payload = [c for c in changes.columns if c not in keys]
+    ord_col = _order_struct(order)
+    winner = F.max_by(F.struct(*[F.col(c) for c in payload]), ord_col).alias("w")
+    agg = changes.groupBy(*[F.col(k) for k in keys]).agg(winner)
+    return agg.select(*keys, *[F.col(f"w.{c}").alias(c) for c in payload])
+
+
+def lww_reduce_salted(
+    changes: DataFrame,
+    keys: Sequence[str] = MERGE_KEYS,
+    order: Sequence[str] = LWW_ORDER,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase LWW for hot-key skew: pre-reduce on (keys, salt), then reduce
+    on keys. Correct because max_by over a total order is associative."""
+    payload = [c for c in changes.columns if c not in keys]
+    ord_col = _order_struct(order)
+    salted = changes.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt_buckets))
+    )
+    phase1 = (
+        salted.groupBy(*[F.col(k) for k in keys], F.col("__salt"))
+        .agg(F.max_by(F.struct(*[F.col(c) for c in payload]), ord_col).alias("w"))
+        .select(*keys, *[F.col(f"w.{c}").alias(c) for c in payload])
+    )
+    return lww_reduce(phase1, keys=keys, order=order)
+
+
+def lww_reduce_window(
+    changes: DataFrame,
+    keys: Sequence[str] = MERGE_KEYS,
+    order: Sequence[str] = LWW_ORDER,
+) -> DataFrame:
+    """Window+row_number formulation — semantically identical to lww_reduce;
+    kept as the cross-check implementation for tests (and because it is the
+    literal Spark encoding of USE_LAST the survey documents)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order], F.col("op").desc()
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def lww_state(
+    changes: DataFrame,
+    keys: Sequence[str] = MERGE_KEYS,
+    order: Sequence[str] = LWW_ORDER,
+    salted: bool = False,
+) -> DataFrame:
+    """Final table state implied by a change log: LWW per key, deletes dropped.
+
+    This is the one-shot (bounded) equivalent of replaying the log through the
+    incremental MERGE sink — convergence between the two is the core
+    correctness invariant (tests/test_convergence.py).
+    """
+    reduced = (
+        lww_reduce_salted(changes, keys, order)
+        if salted
+        else lww_reduce(changes, keys, order)
+    )
+    return reduced.filter(F.col("op") != "D")

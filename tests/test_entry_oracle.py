@@ -1,0 +1,35 @@
+"""Run every queries() entry against its DuckDB oracle at sf0.001 — the same
+comparison the driver performs at sf0.01 (CORRECTNESS gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.oracle_utils import assert_matches_oracle, duckdb_conn
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, con, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    if sql is None:
+        df = q(spark, SF_DIR)
+        assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    assert_matches_oracle(q(spark, SF_DIR), con, sql, name=name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"conv_id", "turn_idx", "role", "text", "tool", "last_lsn"}
