@@ -28,7 +28,10 @@ TURNS_PER_CONV = 50
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Spark 4 infers parquet isAdjustedToUTC=false as TIMESTAMP_NTZ; the
+    # engine's event-time type is TimestampType (session tz = UTC)
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def derive_change_events(events: DataFrame) -> DataFrame:

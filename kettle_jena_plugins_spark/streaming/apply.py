@@ -1,0 +1,172 @@
+"""The CDC apply pipeline: validate → normalize → evolve → LWW-reduce → MERGE.
+
+Batch core (`apply_batch`) + Structured Streaming wrapper (`run_stream`,
+readStream → foreachBatch → checkpoint). This is the engine's equivalent of
+the reference's whole .ktr pipeline (inject → create model → group-merge →
+serialize, EndToEndIT.java:60-92), re-expressed as one micro-batch function.
+
+Exactly-once: Structured Streaming checkpoints source offsets; the target's
+batch-id gate makes the sink idempotent, so replay of a failed/killed batch
+converges to byte-identical state (tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textnorm import normalize_text
+from ..model import CHANGE_EVENT_SCHEMA, MERGE_KEYS
+from ..operators.lww import lww_reduce, lww_reduce_salted
+from ..operators.validate import ValidationSpec, validate_split
+from ..plans.evolution import ENVELOPE_COLS, evolved_schema
+
+
+@dataclass
+class CDCConfig:
+    salted: bool = False
+    salt_buckets: int = 16
+    normalize: bool = True
+    dead_letter_dir: str | None = None
+    metrics_path: str | None = None  # jsonl, one line per batch
+    validation: ValidationSpec = field(default_factory=ValidationSpec)
+    evolve: bool = True
+
+
+def _append_metrics(path: str, record: dict) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps(record, default=str) + "\n")
+
+
+def apply_batch(
+    target,
+    events: DataFrame,
+    batch_id: int,
+    cfg: CDCConfig | None = None,
+    stream_id: str = "default",
+):
+    """Apply one micro-batch of change events to the target table.
+
+    `stream_id` scopes the idempotence gate to one checkpoint lineage (see
+    ParquetLakeTarget.merge_batch)."""
+    cfg = cfg or CDCConfig()
+
+    # 1. validation split (SHACL analogue): bad rows → dead letter
+    ok, dead = validate_split(events, cfg.validation)
+    n_dead = 0
+    if cfg.dead_letter_dir is not None:
+        dead = dead.cache()
+        n_dead = dead.count()
+        if n_dead:
+            dead.write.mode("append").parquet(cfg.dead_letter_dir)
+        dead.unpersist()
+
+    # 2. vectorized normalization of the text payload (pure pandas UDF)
+    if cfg.normalize and "text" in ok.columns:
+        ok = ok.withColumn("text", normalize_text(F.col("text")))
+
+    # 3. schema evolution: ALTER before the merge plan is analyzed
+    if cfg.evolve:
+        new_schema = evolved_schema(target.schema(), ok.schema)
+        if new_schema is not None:
+            target.evolve_schema(new_schema)
+    # align batch to the (possibly evolved) target payload set: missing
+    # payload columns → null (late producers), key/ts casts to target types
+    tgt_fields = {f.name: f for f in target.schema().fields}
+    cols = [F.col(c) for c in ENVELOPE_COLS]
+    for f in target.schema().fields:
+        if f.name in ok.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    ok = ok.select(*cols)
+
+    # 3.5 late-event lineage: raw events at-or-below their bucket's committed
+    # LSN high-watermark (duplicates/out-of-order replays), counted BEFORE
+    # reduction so redelivered rows that lose LWW are still accounted.
+    n_late_raw = 0
+    if hasattr(target, "watermarks"):
+        wm = target.watermarks()
+        if wm:
+            wm_map = F.create_map(
+                *[F.lit(x) for b, l in wm.items() for x in (int(b), l)]
+            )
+            bucket = F.pmod(F.xxhash64("conv_id"), F.lit(target.n_buckets)).cast(
+                "int"
+            )
+            n_late_raw = ok.filter(
+                F.col("lsn") <= F.coalesce(wm_map[bucket], F.lit(-(2**62)))
+            ).count()
+
+    # 4. LWW reduce to one final event per key (pre-MERGE cardinality
+    #    guarantee — Iceberg MERGE forbids multi-row source matches)
+    reduced = (
+        lww_reduce_salted(ok, salt_buckets=cfg.salt_buckets)
+        if cfg.salted
+        else lww_reduce(ok)
+    )
+
+    # 5. idempotent MERGE commit
+    res = target.merge_batch(reduced, batch_id, stream_id=stream_id)
+    res.extra["dead_letter_rows"] = n_dead
+    res.extra["late_keys"] = res.late_events
+    if res.applied:
+        res.late_events = max(int(n_late_raw), res.late_events)
+
+    if cfg.metrics_path:
+        _append_metrics(
+            cfg.metrics_path,
+            {
+                "batch_id": batch_id,
+                "applied": res.applied,
+                "events_in": res.events_in,
+                "keys_upserted": res.keys_upserted,
+                "keys_deleted": res.keys_deleted,
+                "late_events": res.late_events,
+                "dead_letter_rows": n_dead,
+                "buckets_rewritten": res.buckets_rewritten,
+                "snapshot_version": res.snapshot_version,
+            },
+        )
+    return res
+
+
+def run_stream(
+    spark: SparkSession,
+    events_dir: str,
+    target,
+    checkpoint_dir: str,
+    cfg: CDCConfig | None = None,
+    schema=CHANGE_EVENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+    await_termination: bool = True,
+):
+    """Tail a directory of change-event parquet files (the WAL), applying each
+    micro-batch via foreachBatch. availableNow drains everything present and
+    stops — rerunning with the same checkpoint resumes after the last
+    committed offset (kill/resume replay convergence)."""
+    cfg = cfg or CDCConfig()
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir)
+
+    stream_id = os.path.abspath(checkpoint_dir)  # one lineage per checkpoint
+
+    def _sink(df: DataFrame, batch_id: int) -> None:
+        apply_batch(target, df, batch_id, cfg, stream_id=stream_id)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -1,0 +1,188 @@
+"""ParquetLakeTarget + apply_batch semantics: idempotence, LWW under
+out-of-order/duplicate delivery, delete tombstones, schema evolution,
+dead-letter split. Mirrors the reference's parameterized semantics tables
+(JenaGroupMergeStepTest.java:55-830) for the CDC analogues in FIXTURES.md §3.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kettle_jena_plugins_spark.model import CHANGE_EVENT_SCHEMA, CHANGE_EVENT_SCHEMA_V2
+from kettle_jena_plugins_spark.operators.lww import lww_state
+from kettle_jena_plugins_spark.streaming.apply import CDCConfig, apply_batch
+from kettle_jena_plugins_spark.targets.parquet_lake import ParquetLakeTarget
+
+T0 = dt.datetime(2026, 1, 1)
+
+
+def ev(op, lsn, ts_off, conv, turn, role="user", text=None, tool=None):
+    return (op, lsn, T0 + dt.timedelta(seconds=ts_off), conv, turn, role, text, tool)
+
+
+def make_events(spark, rows, schema=CHANGE_EVENT_SCHEMA):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture()
+def target(spark, tmp_path):
+    t = ParquetLakeTarget(spark, str(tmp_path / "tbl"), n_buckets=4)
+    t.create()
+    yield t
+    t.drop()
+
+
+def state(t):
+    return {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+        for r in t.read().collect()
+    }
+
+
+def test_insert_update_delete(spark, target):
+    b0 = make_events(spark, [
+        ev("I", 1, 1, "a", 0, text="hello"),
+        ev("I", 2, 2, "a", 1, text="world"),
+        ev("I", 3, 3, "b", 0, text="x"),
+    ])
+    apply_batch(target, b0, 0)
+    b1 = make_events(spark, [
+        ev("U", 4, 4, "a", 0, text="hello2"),
+        ev("D", 5, 5, "b", 0),
+    ])
+    apply_batch(target, b1, 1)
+    s = state(target)
+    assert s[("a", 0)][1] == "hello2"
+    assert ("b", 0) not in s
+    assert s[("a", 1)][1] == "world"
+
+
+def test_idempotent_replay(spark, target):
+    b0 = make_events(spark, [ev("I", 1, 1, "a", 0, text="v1")])
+    r0 = apply_batch(target, b0, 0)
+    assert r0.applied
+    # replay the same batch id with different (corrupt) content → no-op
+    b0_corrupt = make_events(spark, [ev("U", 9, 9, "a", 0, text="corrupt")])
+    r1 = apply_batch(target, b0_corrupt, 0)
+    assert not r1.applied
+    assert state(target)[("a", 0)][1] == "v1"
+
+
+def test_out_of_order_and_duplicates_converge(spark, target):
+    # newer event applied first; older + duplicate arrive in later batches
+    apply_batch(target, make_events(spark, [ev("U", 10, 100, "a", 0, text="new")]), 0)
+    r = apply_batch(
+        target,
+        make_events(spark, [
+            ev("U", 5, 50, "a", 0, text="old"),      # late: loses LWW
+            ev("U", 10, 100, "a", 0, text="new"),    # duplicate delivery
+        ]),
+        1,
+    )
+    assert state(target)[("a", 0)][1] == "new"
+    assert r.late_events == 2  # both at-or-below the bucket watermark
+
+
+def test_late_update_cannot_resurrect_delete(spark, target):
+    apply_batch(target, make_events(spark, [ev("I", 1, 1, "a", 0, text="v")]), 0)
+    apply_batch(target, make_events(spark, [ev("D", 9, 90, "a", 0)]), 1)
+    # update older than the delete arrives afterwards
+    apply_batch(target, make_events(spark, [ev("U", 5, 50, "a", 0, text="zombie")]), 2)
+    assert ("a", 0) not in state(target)
+
+
+def test_delete_then_reinsert_single_batch(spark, target):
+    # I,U,D,I for one key within one batch → final op wins (I at lsn 4)
+    apply_batch(
+        target,
+        make_events(spark, [
+            ev("I", 1, 1, "a", 0, text="v1"),
+            ev("U", 2, 2, "a", 0, text="v2"),
+            ev("D", 3, 3, "a", 0),
+            ev("I", 4, 4, "a", 0, text="v3"),
+        ]),
+        0,
+    )
+    assert state(target)[("a", 0)][1] == "v3"
+
+
+def test_lww_tie_on_ts_broken_by_lsn(spark, target):
+    apply_batch(
+        target,
+        make_events(spark, [
+            ev("U", 7, 100, "a", 0, text="lsn7"),
+            ev("U", 8, 100, "a", 0, text="lsn8"),
+        ]),
+        0,
+    )
+    assert state(target)[("a", 0)][1] == "lsn8"
+
+
+def test_dead_letter_split(spark, target, tmp_path):
+    dl = str(tmp_path / "dead")
+    cfg = CDCConfig(dead_letter_dir=dl, normalize=False)
+    r = apply_batch(
+        target,
+        make_events(spark, [
+            ev("I", 1, 1, "a", 0, text="ok"),
+            ("X", 2, T0, "a", 1, "user", "badop", None),
+            ("I", 3, T0, None, 2, "user", "nullkey", None),
+        ]),
+        0,
+        cfg,
+    )
+    assert r.extra["dead_letter_rows"] == 2
+    assert set(state(target)) == {("a", 0)}
+    dead = spark.read.parquet(dl)
+    assert dead.count() == 2
+    msgs = {r["error_msg"] for r in dead.collect()}
+    assert msgs == {"bad_op", "null_key:conv_id"}
+
+
+def test_schema_evolution_add_column_and_widen(spark, target):
+    apply_batch(target, make_events(spark, [ev("I", 1, 1, "a", 0, text="v1")]), 0)
+    v2 = spark.createDataFrame(
+        [("U", 2, T0 + dt.timedelta(seconds=2), "a", 2**40, "user", "v2", None,
+          '{"m":1}')],
+        CHANGE_EVENT_SCHEMA_V2,
+    )
+    apply_batch(target, v2, 1)
+    tschema = {f.name: f.dataType.simpleString() for f in target.schema().fields}
+    assert tschema["tool_meta"] == "string"
+    assert tschema["turn_idx"] == "bigint"
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in target.read().collect()}
+    assert rows[("a", 2**40)]["tool_meta"] == '{"m":1}'
+    assert rows[("a", 0)]["tool_meta"] is None  # old rows aligned with null
+
+
+def test_normalization_applied(spark, target):
+    apply_batch(
+        target,
+        make_events(spark, [ev("I", 1, 1, "a", 0, text="  héllo\t\tworld ")]),
+        0,
+    )
+    assert state(target)[("a", 0)][1] == "héllo world"  # NFC + ws collapse
+
+
+def test_multibatch_equals_oneshot_lww(spark, target):
+    """Convergence golden test: incremental apply over batches == one-shot
+    lww_state over the concatenated log (SURVEY.md §7 minimum slice)."""
+    from kettle_jena_plugins_spark.sources.changes import change_events
+
+    ch = change_events(spark, "/root/testdata/sf0.001").cache()
+    batches = [ch.filter((F.col("lsn") % 3) == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        apply_batch(target, b, i, CDCConfig(normalize=False))
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+        for r in target.read().collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+        for r in lww_state(ch).collect()
+    }
+    ch.unpersist()
+    assert got == want
