@@ -89,7 +89,81 @@ def q_validate_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dead_letter_stats(dirty)
 
 
+def q_group_merge_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-and-Merge over whole conversations: USE_FIRST / USE_LAST /
+    NULL_IF_DIFFERENT policies + set-union merge of text values (the RDF
+    model-union analogue), reference JenaGroupMergeStep + OtherFieldAction."""
+    from kettle_jena_plugins_spark.operators.groupmerge import (
+        OtherFieldAction,
+        group_merge,
+    )
+
+    ch = change_events(spark, sf_dir).withColumn("last_text", F.col("text"))
+    gm = group_merge(
+        ch,
+        group_keys=["conv_id"],
+        merge_cols=["text"],
+        other_actions={
+            "role": OtherFieldAction.USE_FIRST,
+            "last_text": OtherFieldAction.USE_LAST,
+            "tool": OtherFieldAction.NULL_IF_DIFFERENT,
+            "op": OtherFieldAction.DROP,
+            "turn_idx": OtherFieldAction.DROP,
+        },
+    )
+    return gm.select(
+        "conv_id",
+        F.col("role").alias("first_role"),
+        F.col("last_text"),
+        F.col("tool").alias("tool_nid"),
+        F.when(
+            F.size("text_merged") > 0, F.concat_ws("|", F.col("text_merged"))
+        ).alias("texts_merged"),
+    )
+
+
+def q_combine_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combine operator: first-non-null horizontal merge (tool ⊕ role) —
+    reference JenaCombineStep column-union semantics."""
+    from kettle_jena_plugins_spark.operators.combine import combine_columns
+
+    ch = change_events(spark, sf_dir)
+    combined = combine_columns(
+        ch, ["tool", "role"], "effective_tool", remove_sources=False
+    )
+    return combined.groupBy("effective_tool").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_construct_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row construct: canonical sorted-property serialization of the
+    per-turn document — reference JenaModelStep row→graph with QName
+    expansion; canonical order replaces graph-isomorphism equality."""
+    from kettle_jena_plugins_spark.operators.construct import (
+        PropertyMapping,
+        construct_doc,
+    )
+
+    ch = change_events(spark, sf_dir)
+    ns = {"t": "http://example.org/transcript#"}
+    out = construct_doc(
+        ch,
+        uri_prefix="ex:conv/",
+        uri_fields=["conv_id", "turn_idx"],
+        mappings=[
+            PropertyMapping("role", "t:role"),
+            PropertyMapping("text", "t:text"),
+            PropertyMapping("tool", "t:tool"),
+            PropertyMapping("op", "t:op", skip=True),  # skip-flag coverage
+        ],
+        namespaces=ns,
+    )
+    return out.select("lsn", "doc_canon")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "group_merge_policies": q_group_merge_policies,
+    "combine_coalesce": q_combine_coalesce,
+    "construct_doc": q_construct_doc,
     "cdc_lww_state": q_cdc_lww_state,
     "cdc_lww_state_salted": q_cdc_lww_state_salted,
     "cdc_final_op_counts": q_cdc_final_op_counts,
@@ -117,7 +191,50 @@ ranked AS (
 )
 """
 
+_NS_T = "http://example.org/transcript#"
+
 ORACLES: dict[str, str] = {
+    "group_merge_policies": f"""
+WITH {CHANGES_ORACLE_CTE},
+ranked AS (
+    SELECT conv_id, role, text,
+           row_number() OVER (PARTITION BY conv_id ORDER BY ts, lsn, op) AS rn_a,
+           row_number() OVER (PARTITION BY conv_id ORDER BY ts DESC, lsn DESC, op DESC) AS rn_d
+    FROM changes
+),
+aggs AS (
+    SELECT conv_id,
+           CASE WHEN COUNT(DISTINCT tool)
+                     + MAX(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) = 1
+                THEN MIN(tool) END AS tool_nid,
+           string_agg(DISTINCT text, '|' ORDER BY text) AS texts_merged
+    FROM changes GROUP BY conv_id
+)
+SELECT a.conv_id,
+       f.role AS first_role,
+       l.text AS last_text,
+       a.tool_nid,
+       a.texts_merged
+FROM aggs a
+JOIN (SELECT conv_id, role FROM ranked WHERE rn_a = 1) f USING (conv_id)
+JOIN (SELECT conv_id, text FROM ranked WHERE rn_d = 1) l USING (conv_id)
+""",
+    "combine_coalesce": f"""
+WITH {CHANGES_ORACLE_CTE}
+SELECT COALESCE(tool, role) AS effective_tool, COUNT(*) AS n
+FROM changes GROUP BY COALESCE(tool, role)
+""",
+    "construct_doc": f"""
+WITH {CHANGES_ORACLE_CTE}
+SELECT lsn,
+       '<ex:conv/' || conv_id || '/' || CAST(turn_idx AS VARCHAR) || '> ' ||
+       concat_ws('; ',
+           CASE WHEN role IS NOT NULL THEN '{_NS_T}role=' || role END,
+           CASE WHEN text IS NOT NULL THEN '{_NS_T}text=' || text END,
+           CASE WHEN tool IS NOT NULL THEN '{_NS_T}tool=' || tool END
+       ) AS doc_canon
+FROM changes
+""",
     "cdc_lww_state": _LWW_RANKED
     + """
 SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
