@@ -160,7 +160,126 @@ def q_construct_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lsn", "doc_canon")
 
 
+# ---------------------------------------------------------------------------
+# training-data ops (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-keyed copies of every 5th doc — deterministic duplicate
+    injection so dedup queries are non-trivial (same CTE in the oracles)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
+    )
+    return d.unionByName(dups)
+
+
+def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kettle_jena_plugins_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kettle_jena_plugins_spark.operators.dedup import minhash_candidates
+
+    return minhash_candidates(
+        _docs_with_dups(spark, sf_dir), n=5, k=12, bands=4
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kettle_jena_plugins_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs_with_dups(spark, sf_dir), n=5, threshold=0.8)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kettle_jena_plugins_spark.operators.dedup import simhash60
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash60(F.col("text")).alias("simhash")
+    )
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kettle_jena_plugins_spark.operators.similarity import brute_force_topk
+
+    em = _embeds(spark, sf_dir)
+    queries_df = em.filter(F.col("vec_id") % 25 == 0)
+    return brute_force_topk(em, queries_df, k=5)
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kettle_jena_plugins_spark.operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(_embeds(spark, sf_dir), threshold=0.4)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only check; recall vs brute force
+    asserted in tests/test_similarity.py)."""
+    from kettle_jena_plugins_spark.operators.similarity import ann_topk
+
+    em = _embeds(spark, sf_dir)
+    queries_df = em.filter(F.col("vec_id") % 25 == 0)
+    return ann_topk(em, queries_df, dim=64, k=5, n_planes=3, n_tables=6)
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kettle_jena_plugins_spark.operators.text import text_profile
+
+    return text_profile(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kettle_jena_plugins_spark.operators.text import shingle_fingerprint_df
+
+    return shingle_fingerprint_df(_docs(spark, sf_dir), n=4)
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash (pandas UDF — rows-only check; cross-checked
+    against a pure-python reimplementation in tests/test_text_ops.py)."""
+    from kettle_jena_plugins_spark.operators.text import rolling_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kettle_jena_plugins_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(_docs(spark, sf_dir))
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "width", "height", "n_frames"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "embed_topk": q_embed_topk,
+    "embed_near_dup": q_embed_near_dup,
+    "ann_topk": q_ann_topk,
+    "text_profile": q_text_profile,
+    "doc_fingerprint": q_doc_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "multimodal_features": q_multimodal_features,
     "group_merge_policies": q_group_merge_policies,
     "combine_coalesce": q_combine_coalesce,
     "construct_doc": q_construct_doc,
@@ -193,7 +312,189 @@ ranked AS (
 
 _NS_T = "http://example.org/transcript#"
 
+# shared oracle CTE fragments (DuckDB dialect) --------------------------------
+
+_DOCS_DUPS_CTE = """
+docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)"""
+
+
+def _shingles_cte(n: int, src: str) -> str:
+    return f"""
+sh AS (
+    SELECT doc_id,
+           list_sort(list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - {n} + 1, 1)),
+               i -> substring(text, i, {n})))) AS sh
+    FROM {src}
+)"""
+
+
+_K_MINHASH, _BANDS = 12, 4
+_ROWS = _K_MINHASH // _BANDS
+_SIG_LIST = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+    for i in range(_K_MINHASH)
+)
+_BAND_VALUES = ", ".join(
+    "({b}, md5({parts}))".format(
+        b=b,
+        parts=" || '|' || ".join(f"sig[{b * _ROWS + r + 1}]" for r in range(_ROWS)),
+    )
+    for b in range(_BANDS)
+)
+
+_COS = (
+    "round(list_inner_product(qv, cv) / "
+    "(sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))), 4)"
+)
+
+_LANG_PATS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que)\b",
+    "es": r"\b(el|la|los|las|es|una|del|para|por|que)\b",
+}
+_LANG_SCORES = ",\n           ".join(
+    f"len(regexp_extract_all(lower(text), '{p}')) AS s_{l}"
+    for l, p in _LANG_PATS.items()
+)
+_NTOK = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
 ORACLES: dict[str, str] = {
+    "dedup_exact": f"""
+WITH {_DOCS_DUPS_CTE}
+SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM docs2 GROUP BY 1
+""",
+    "dedup_minhash_lsh": f"""
+WITH {_DOCS_DUPS_CTE},
+{_shingles_cte(5, "docs2")},
+sig AS (SELECT doc_id, [{_SIG_LIST}] AS sig FROM sh),
+banded AS (
+    SELECT doc_id, b.band, b.bucket
+    FROM sig, LATERAL (VALUES {_BAND_VALUES}) AS b(band, bucket)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+    "dedup_jaccard": f"""
+WITH {_DOCS_DUPS_CTE},
+{_shingles_cte(5, "docs2")},
+ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS i
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(i / (na + nb - i), 6) AS jaccard
+FROM inter WHERE round(i / (na + nb - i), 6) >= 0.8
+""",
+    "dedup_simhash": """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+hv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+votes AS (
+    SELECT doc_id, j,
+           SUM(CASE WHEN ((h >> CAST(j AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+    FROM hv CROSS JOIN range(0, 60) t(j)
+    GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INTEGER))
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+    "embed_topk": f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id % 25 = 0
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, {_COS} AS cos
+    FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS "rank" FROM scored
+)
+SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5
+""",
+    "embed_near_dup": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) *
+              sqrt(list_inner_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.v, b.v) /
+            (sqrt(list_inner_product(a.v, a.v)) *
+             sqrt(list_inner_product(b.v, b.v))), 4) >= 0.4
+""",
+    "text_profile": f"""
+WITH base AS (
+    SELECT doc_id, text,
+           {_NTOK} AS n_tokens,
+           {_LANG_SCORES}
+    FROM documents
+),
+derived AS (
+    SELECT doc_id, n_tokens,
+           len(regexp_extract_all(lower(text),
+               '[a-z0-9]{{1,4}}|[^a-z0-9\\s]')) AS n_subwords,
+           round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(s_en / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           s_en, s_de, s_fr, s_es,
+           greatest(s_en, s_de, s_fr, s_es) AS best
+    FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_subwords AS INTEGER) AS n_subwords,
+       punct_ratio, stopword_ratio,
+       round((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000 THEN 0.4 ELSE 0.0 END)
+             + least(stopword_ratio * 2.0, 0.4)
+             + (0.2 - least(punct_ratio * 2.0, 0.2)), 6) AS quality,
+       CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+            WHEN s_de > 0 AND s_de = best THEN 'de'
+            WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+            WHEN s_es > 0 AND s_es = best THEN 'es'
+            ELSE 'und' END AS lang_pred
+FROM derived
+""",
+    "doc_fingerprint": f"""
+WITH {_shingles_cte(4, "documents")}
+SELECT doc_id,
+       md5(array_to_string(list_transform(sh, s -> md5(s)), ',')) AS fingerprint
+FROM sh
+""",
+    "multimodal_features": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(16 + strlen(text) % 64 AS INTEGER) AS width,
+       CAST(16 + (strlen(text) // 64) % 64 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                 ELSE 1 + strlen(text) % 7 END AS INTEGER) AS n_frames
+FROM documents
+""",
     "group_merge_policies": f"""
 WITH {CHANGES_ORACLE_CTE},
 ranked AS (

@@ -1,0 +1,234 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all portable (hash base = md5, so the DuckDB oracle computes
+identical values):
+
+- exact:   hash-groupBy on normalized text (one shuffle, map-side combine)
+- minhash: shingle → k min-hashes → band → bucket-join (LSH). The scale
+  path: candidate generation is O(n·bands) rows through one shuffle instead
+  of O(n²) pairs.
+- ngram Jaccard: exact pairwise similarity over a shingle self-join —
+  the verifier for minhash candidates (run on candidates only at scale).
+- simhash: 60-bit majority fingerprint (near-dup by hamming distance),
+  vectorized pandas UDF (Arrow) — no per-row Python.
+
+At 100 TB: exact/minhash are shuffle-bound; both aggregate map-side first.
+The banding join broadcasts nothing and self-joins on (band, bucket-hash),
+whose cardinality is bounded by duplicate density, not n².
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+# ------------------------------------------------------------------ shingles
+
+def shingles(col: str | Column, n: int = 5) -> Column:
+    """Distinct character n-grams (sorted for determinism). Built-ins only."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({'' if not isinstance(col, str) else col}) - {n} + 1, 1)),"
+        f" i -> substring({'' if not isinstance(col, str) else col}, i, {n}))"
+    ) if isinstance(col, str) else None
+    # column-object version via sql functions (works for any expression)
+    if grams is None:
+        raise ValueError("shingles() requires a column name string")
+    return F.array_sort(F.array_distinct(grams))
+
+
+# ------------------------------------------------------------------- exact
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized text: (text_hash, keep_id = min id,
+    n_dups). Hash-groupBy — single shuffle, partial agg map-side."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        df.select(F.md5(norm).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ minhash
+
+def minhash_signature(shingle_col: Column, k: int = 12) -> Column:
+    """k portable min-hashes: sig_i = min over shingles of md5(i || ':' || s).
+
+    md5 on both engines → the oracle reproduces signatures exactly.
+    """
+    def hasher(i: int):
+        # single-arg lambda: F.transform feeds (element, index) to two-arg
+        # lambdas, which would clobber the minhash index
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    sigs = [F.array_min(F.transform(shingle_col, hasher(i))) for i in range(k)]
+    return F.array(*sigs)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) sharing ≥1 minhash band bucket.
+
+    rows = k/bands per band; bucket key = md5 of the band's signature slice.
+    Self-join on (band, bucket) — never on raw text.
+    """
+    rows = k // bands
+    sig = minhash_signature(shingles(text_col, n), k)
+    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- ngram jaccard
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs via shingle inverted index:
+    explode distinct shingles → self-join on shingle → |∩| per pair →
+    jaccard = |∩| / (|A| + |B| - |∩|). At scale, feed minhash candidates in
+    as `df` instead of the full corpus."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return inter.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------- simhash
+
+@pandas_udf(T.LongType())
+def simhash60(texts: pd.Series) -> pd.Series:
+    """60-bit simhash over whitespace tokens; per-token hash = first 15 hex
+    chars of md5 (portable — the DuckDB oracle reproduces it bit-for-bit).
+    Vectorized via Arrow batches; pure function of the text."""
+
+    def sh(t):
+        if t is None:
+            return None
+        counts = [0] * 60
+        for tok in t.split():
+            h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+            for j in range(60):
+                counts[j] += 1 if (h >> j) & 1 else -1
+        v = 0
+        for j in range(60):
+            if counts[j] > 0:
+                v |= 1 << j
+        return v
+
+    return texts.map(sh)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance. Candidate generation at
+    scale: block on 4 × 15-bit segments (any pair within hamming ≤ 3 of 60
+    bits shares ≥1 identical 15-bit segment — pigeonhole); here segments are
+    the join key, then the exact hamming filter."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash60(F.col(text_col)).alias("sh")
+    )
+    segs = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        F.shiftrightunsigned(F.col("sh"), s * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("segval"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "sh", "s.seg", "s.segval")
+    a = segs.alias("a")
+    b = segs.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.segval") == F.col("b.segval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,126 @@
+"""CLI — `python -m kettle_jena_plugins_spark.run <cmd>` (spark-submit-able:
+`spark-submit --py-files kettle_jena_plugins_spark.zip -m ...` on a cluster).
+
+Commands:
+  gen-wal  --out DIR --n-events N [--segments K] [knobs]   write a WAL dir
+  create   --table DIR                                     create the target
+  stream   --wal DIR --table DIR --checkpoint DIR          tail WAL → MERGE
+  apply    --events PATH --table DIR --batch-id N          one batch
+  state    --table DIR [--limit N]                         show final state
+  bench    (see bench.py at repo root for the graded harness)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from .datagen import gen_change_events
+from .session import get_spark
+from .streaming.apply import CDCConfig, apply_batch, run_stream
+from .targets.parquet_lake import ParquetLakeTarget
+
+
+def _add_gen_knobs(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--n-events", type=int, required=True)
+    p.add_argument("--n-convs", type=int, default=10_000)
+    p.add_argument("--hot-frac", type=float, default=0.0)
+    p.add_argument("--ooo-frac", type=float, default=0.1)
+    p.add_argument("--dup-frac", type=float, default=0.0)
+    p.add_argument("--p-delete", type=float, default=0.1)
+    p.add_argument("--evolve-at", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="kettle_jena_plugins_spark.run")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-wal")
+    g.add_argument("--out", required=True)
+    g.add_argument("--segments", type=int, default=8)
+    _add_gen_knobs(g)
+
+    c = sub.add_parser("create")
+    c.add_argument("--table", required=True)
+    c.add_argument("--n-buckets", type=int, default=16)
+
+    s = sub.add_parser("stream")
+    s.add_argument("--wal", required=True)
+    s.add_argument("--table", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--metrics", default=None)
+    s.add_argument("--salted", action="store_true")
+    s.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    a = sub.add_parser("apply")
+    a.add_argument("--events", required=True)
+    a.add_argument("--table", required=True)
+    a.add_argument("--batch-id", type=int, required=True)
+    a.add_argument("--salted", action="store_true")
+
+    st = sub.add_parser("state")
+    st.add_argument("--table", required=True)
+    st.add_argument("--limit", type=int, default=20)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(
+        master=args.master, shuffle_partitions=args.shuffle_partitions
+    )
+
+    if args.cmd == "gen-wal":
+        df = gen_change_events(
+            spark,
+            args.n_events,
+            n_convs=args.n_convs,
+            hot_frac=args.hot_frac,
+            ooo_frac=args.ooo_frac,
+            dup_frac=args.dup_frac,
+            p_delete=args.p_delete,
+            evolve_at=args.evolve_at,
+            seed=args.seed,
+        )
+        # one flat parquet file per lsn-range segment (flat layout: the
+        # streaming file source treats each file as an increment)
+        (
+            df.repartitionByRange(args.segments, "lsn")
+            .write.mode("overwrite")
+            .parquet(args.out)
+        )
+        print(json.dumps({"wal": args.out, "events": df.count()}))
+    elif args.cmd == "create":
+        ParquetLakeTarget(spark, args.table, n_buckets=args.n_buckets).create()
+        print(json.dumps({"created": args.table}))
+    elif args.cmd == "stream":
+        tgt = ParquetLakeTarget(spark, args.table)
+        cfg = CDCConfig(salted=args.salted, metrics_path=args.metrics)
+        t0 = time.time()
+        run_stream(
+            spark, args.wal, tgt, args.checkpoint, cfg,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        print(json.dumps({
+            "wall_sec": round(time.time() - t0, 2),
+            "batch_id": tgt.last_committed_batch(),
+            "snapshot": tgt.manifest()["version"],
+        }))
+    elif args.cmd == "apply":
+        tgt = ParquetLakeTarget(spark, args.table)
+        events = spark.read.parquet(args.events)
+        res = apply_batch(tgt, events, args.batch_id, CDCConfig(salted=args.salted))
+        print(json.dumps(res.__dict__, default=str))
+    elif args.cmd == "state":
+        tgt = ParquetLakeTarget(spark, args.table)
+        df = tgt.read().orderBy("conv_id", "turn_idx")
+        for r in df.limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+        print(json.dumps({"rows": df.count()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,6 +35,14 @@ class CDCConfig:
     metrics_path: str | None = None  # jsonl, one line per batch
     validation: ValidationSpec = field(default_factory=ValidationSpec)
     evolve: bool = True
+    # pre-reduce the batch to one row per key before the sink. None = auto:
+    # skipped for targets whose merge is itself an LWW reduction
+    # (ParquetLakeTarget.handles_raw_events) — one shuffle instead of two;
+    # forced for Iceberg MERGE (cardinality rule).
+    pre_reduce: bool | None = None
+    # extra pass counting raw late events pre-reduction (only meaningful when
+    # pre_reduce is on; the raw path's sink already counts raw lates)
+    count_late_raw: bool = False
 
 
 def _append_metrics(path: str, record: dict) -> None:
@@ -90,7 +98,7 @@ def apply_batch(
     # LSN high-watermark (duplicates/out-of-order replays), counted BEFORE
     # reduction so redelivered rows that lose LWW are still accounted.
     n_late_raw = 0
-    if hasattr(target, "watermarks"):
+    if cfg.count_late_raw and hasattr(target, "watermarks"):
         wm = target.watermarks()
         if wm:
             wm_map = F.create_map(
@@ -104,15 +112,29 @@ def apply_batch(
             ).count()
 
     # 4. LWW reduce to one final event per key (pre-MERGE cardinality
-    #    guarantee — Iceberg MERGE forbids multi-row source matches)
-    reduced = (
-        lww_reduce_salted(ok, salt_buckets=cfg.salt_buckets)
-        if cfg.salted
-        else lww_reduce(ok)
+    #    guarantee — Iceberg MERGE forbids multi-row source matches). Skipped
+    #    when the sink's merge is itself an LWW reduction (parquet lake):
+    #    the union-merge then runs as ONE shuffle over raw events.
+    pre_reduce = (
+        cfg.pre_reduce
+        if cfg.pre_reduce is not None
+        else not getattr(target, "handles_raw_events", False)
     )
+    if pre_reduce:
+        reduced = (
+            lww_reduce_salted(ok, salt_buckets=cfg.salt_buckets)
+            if cfg.salted
+            else lww_reduce(ok)
+        )
+    else:
+        reduced = ok
 
-    # 5. idempotent MERGE commit
-    res = target.merge_batch(reduced, batch_id, stream_id=stream_id)
+    # 5. idempotent MERGE commit (raw path: the sink's own LWW is salted
+    #    for hot-key skew instead of a pre-reduce)
+    sink_kwargs = {}
+    if not pre_reduce and getattr(target, "handles_raw_events", False):
+        sink_kwargs = {"salted": cfg.salted, "salt_buckets": cfg.salt_buckets}
+    res = target.merge_batch(reduced, batch_id, stream_id=stream_id, **sink_kwargs)
     res.extra["dead_letter_rows"] = n_dead
     res.extra["late_keys"] = res.late_events
     if res.applied:

@@ -71,6 +71,11 @@ class MergeResult:
 
 
 class ParquetLakeTarget:
+    # merge_batch is itself an LWW reduction, so the apply pipeline may pass
+    # raw (unreduced) events — one shuffle instead of two. The Iceberg path
+    # cannot (MERGE forbids multiple source rows per target key).
+    handles_raw_events = True
+
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
         self.spark = spark
         self.root = root.rstrip("/")
@@ -252,7 +257,12 @@ class ParquetLakeTarget:
     # ---------------------------------------------------------------- merge
 
     def merge_batch(
-        self, reduced: DataFrame, batch_id: int, stream_id: str = "default"
+        self,
+        reduced: DataFrame,
+        batch_id: int,
+        stream_id: str = "default",
+        salted: bool = False,
+        salt_buckets: int = 16,
     ) -> MergeResult:
         """Apply one LWW-reduced micro-batch (one row per (conv_id, turn_idx),
         columns = change-event envelope op/lsn/ts + current payload columns).
@@ -295,6 +305,7 @@ class ParquetLakeTarget:
         stats = batch.groupBy("_b").agg(
             F.count(F.lit(1)).alias("n"), F.max("lsn").alias("max_lsn"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
+            F.count_distinct(*[F.col(k) for k in MERGE_KEYS]).alias("n_keys"),
             late_col,
         ).collect()
         if not stats:
@@ -319,9 +330,15 @@ class ParquetLakeTarget:
             *[F.col(c) for c in payload_cols if c != "ts"],
         )
         batch_events = batch.drop("_b").select(*as_events.columns)
-        merged = lww_reduce(
-            as_events.unionByName(batch_events), keys=MERGE_KEYS, order=LWW_ORDER
-        )
+        unioned = as_events.unionByName(batch_events)
+        if salted:
+            from ..operators.lww import lww_reduce_salted
+
+            merged = lww_reduce_salted(
+                unioned, keys=MERGE_KEYS, order=LWW_ORDER, salt_buckets=salt_buckets
+            )
+        else:
+            merged = lww_reduce(unioned, keys=MERGE_KEYS, order=LWW_ORDER)
         data = merged.select(
             *MERGE_KEYS,
             *[F.col(c) for c in payload_cols if c != "ts"],
@@ -356,7 +373,11 @@ class ParquetLakeTarget:
             batch_id=batch_id,
             applied=True,
             events_in=events_in,
-            keys_upserted=events_in - n_deleted,
+            # with raw (unreduced) input these are touched-keys / delete-event
+            # counts; with pre-reduced input they are exact per-key counts
+            keys_upserted=int(sum(r["n_keys"] for r in stats)) - n_deleted
+            if events_in == sum(r["n_keys"] for r in stats)
+            else int(sum(r["n_keys"] for r in stats)),
             keys_deleted=n_deleted,
             late_events=late,
             buckets_rewritten=len(affected),

@@ -1,0 +1,139 @@
+"""Training-data ops: ANN recall vs brute force, simhash near-dup pairs,
+rolling fingerprint cross-check, multimodal plumbing shapes."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def embeds(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_ann_recall_vs_brute_force(spark):
+    from kettle_jena_plugins_spark.operators.similarity import (
+        ann_topk,
+        brute_force_topk,
+    )
+
+    em = embeds(spark).cache()
+    q = em.filter(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(em, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk(em, q, dim=64, k=5, n_planes=3, n_tables=6).collect()
+    }
+    em.unpersist()
+    recall = len(exact & approx) / len(exact)
+    # even on unclustered (near-random) vectors, 6-table OR-amplified LSH
+    # recovers most true neighbors
+    assert recall > 0.5, f"ANN recall too low: {recall}"
+    assert all(qid in {a for a, _ in approx} for qid, _ in exact)
+
+
+def test_simhash_pairs_finds_near_dups(spark):
+    from kettle_jena_plugins_spark.operators.dedup import simhash_pairs
+
+    d = docs(spark).select("doc_id", "text")
+    # inject a near-duplicate: one doc with one word changed
+    base = d.filter(F.col("doc_id") == 7).select(
+        F.lit(9999).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    pairs = simhash_pairs(d.unionByName(base), max_hamming=6).collect()
+    assert any({p["id_a"], p["id_b"]} == {7, 9999} for p in pairs)
+
+
+def test_simhash_matches_hashlib_reference(spark):
+    from kettle_jena_plugins_spark.operators.dedup import simhash60
+
+    rows = docs(spark).limit(5).select("doc_id", "text").collect()
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in docs(spark)
+        .limit(5)
+        .select("doc_id", simhash60(F.col("text")).alias("sh"))
+        .collect()
+    }
+
+    def ref(t):
+        counts = [0] * 60
+        for tok in t.split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for j in range(60):
+                counts[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(60) if counts[j] > 0)
+
+    for r in rows:
+        assert got[r["doc_id"]] == ref(r["text"])
+
+
+def test_rolling_fingerprint_matches_reference(spark):
+    from kettle_jena_plugins_spark.operators.text import rolling_fingerprint
+
+    rows = docs(spark).limit(5).select("doc_id", "text").collect()
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in docs(spark)
+        .limit(5)
+        .select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    }
+    MOD, BASE = (1 << 61) - 1, 257
+    for r in rows:
+        h = 0
+        for byt in r["text"].encode("utf-8"):
+            h = (h * BASE + byt) % MOD
+        assert got[r["doc_id"]] == h
+
+
+def test_multimodal_plumbing(spark):
+    from kettle_jena_plugins_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        extract_features,
+        frame_sample,
+        media_repartition,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(docs(spark))
+    feats = extract_features(media)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert all(len(r["feature"]) == 8 for r in rows)
+    by_id = {r["media_id"]: r for r in rows}
+    src = {r["media_id"]: r for r in media.collect()}
+    some = next(iter(by_id))
+    assert by_id[some]["n_bytes"] == len(src[some]["payload"])
+    # images are single-frame; video/audio frames derived from bytes
+    assert all(r["n_frames"] == 1 for r in rows if r["kind"] == "image")
+    fs = frame_sample(media, every_n=3)
+    assert fs.columns == ["media_id", "kind", "frame_idx"]
+    assert fs.count() >= media.count()
+    assert media_repartition(media, target_bytes=10_000).rdd.getNumPartitions() >= 2
+
+
+def test_exact_dedup_groups(spark):
+    from kettle_jena_plugins_spark.operators.dedup import exact_dedup
+
+    d = docs(spark).select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        # whitespace-variant duplicates must normalize together
+        F.concat(F.lit("  "), F.col("text"), F.lit("\t")).alias("text"),
+    )
+    out = exact_dedup(d.unionByName(dup))
+    assert out.filter(F.col("n_dups") == 2).count() == 10
+    keeps = out.filter(F.col("n_dups") == 2).select("keep_id").collect()
+    assert all(r["keep_id"] < 10 for r in keeps)  # keeps the lowest id
