@@ -29,6 +29,7 @@ N_EVENTS = int(os.environ.get("BENCH_N_EVENTS", 1_000_000))
 N_BATCHES = int(os.environ.get("BENCH_N_BATCHES", 4))
 HOT_FRAC = float(os.environ.get("BENCH_HOT_FRAC", 0.2))
 SALTED = os.environ.get("BENCH_SALTED", "1") == "1"
+MODE = os.environ.get("BENCH_MODE", "mor")  # cow | mor
 
 
 def bench_cdc_apply(spark) -> tuple[float, dict]:
@@ -54,7 +55,7 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
         bounds = [
             int(N_EVENTS * i / N_BATCHES) for i in range(N_BATCHES + 1)
         ]
-        tgt = ParquetLakeTarget(spark, f"{d}/tbl", n_buckets=32)
+        tgt = ParquetLakeTarget(spark, f"{d}/tbl", n_buckets=32, mode=MODE)
         tgt.create()
         cfg = CDCConfig(salted=SALTED, normalize=True)
         n_total = 0
@@ -71,6 +72,7 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
             "events_per_sec": round(N_EVENTS * 1.05 / wall),
             "final_rows": tgt.read().count(),
             "salted": SALTED,
+            "mode": MODE,
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)

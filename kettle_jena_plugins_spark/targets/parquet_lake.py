@@ -4,9 +4,10 @@ the north rule requires, built from scratch on parquet + atomic manifest swap.
 Why it exists: the sandbox ships no Iceberg runtime jar, so `MERGE INTO`
 cannot be issued as SQL here. This target implements the same contract —
 key-partitioned upsert, snapshot isolation, idempotent batch sequencing,
-per-partition LSN high-watermarks, schema evolution — so the engine's
-semantics are fully exercised locally; `IcebergTarget` (targets/iceberg.py)
-is the drop-in for a real cluster.
+per-partition LSN high-watermarks, schema evolution, copy-on-write AND
+merge-on-read write modes — so the engine's semantics are fully exercised
+locally; `IcebergTarget` (targets/iceberg.py) is the drop-in for a real
+cluster.
 
 Reference analogue: the Serialize-Jena-Model sink folds all rows into one
 model and flushes once at end-of-input (JenaSerializerStep.java:131,243-338);
@@ -15,28 +16,31 @@ the partition-number-decorated filename (JenaSerializerStep.java:257-264)
 becomes hash-bucket layout on conv_id.
 
 Layout (table root):
-    data/v{N}-{uuid}/_bucket={k}/part-*.parquet   copy-on-write file groups
-    _snapshots/v{N}.json                          manifest (files per bucket,
-                                                  schema catalog, batch id,
-                                                  per-bucket lsn watermarks,
-                                                  batch metrics)
+    data/v{uuid}/_bucket={k}/part-*.parquet       file groups (base or delta)
+    _snapshots/v{N}.json                          manifest: per-bucket LAYER
+                                                  list (ordered file groups +
+                                                  schema id), batch id, lsn
+                                                  watermarks, batch metrics
     _snapshots/CURRENT                            atomic pointer (os.replace)
 
-Merge algorithm (per micro-batch, copy-on-write, bucket-pruned):
-    1. idempotence gate: batch_id <= committed batch id → no-op replay skip
-    2. bucket the reduced batch on pmod(xxhash64(conv_id), n_buckets)
-    3. read ONLY the affected buckets' current files (partition pruning)
-    4. union target rows (as op U / D-tombstones) with batch events and
-       re-run the LWW reduce — out-of-order and duplicate deliveries lose
-       to the stored (ts, lsn) pair; deletes win as tombstones so a late
-       update older than an applied delete cannot resurrect a row
-    5. write new file groups for affected buckets, carry over the rest,
-       write manifest v{N+1}, atomically swap CURRENT
+Write modes:
+    cow — each merge unions the affected buckets with the batch, re-reduces
+          LWW, rewrites those buckets (read-optimal, write-amplified).
+    mor — each merge appends a batch-local LWW-reduced DELTA layer to the
+          affected buckets (write cost O(batch), independent of table size);
+          reads resolve LWW across layers; buckets exceeding
+          compact_threshold layers are compacted inline (amortized O(1)
+          rewrites per layer). This is the high-throughput CDC path —
+          the analogue of Iceberg's merge-on-read MERGE mode.
 
-Scale notes: step 3/5 touch only affected buckets (at 100 TB with
-n_buckets sized so a bucket ≈ a few GB, a micro-batch rewrites only the hot
-subset); step 4 is the same agg-based LWW with map-side partial aggregation;
-tombstones bound late-data correctness without unbounded streaming state.
+Correctness under both modes rests on the same invariant: the visible row
+set equals LWW over (ts, lsn, op) of everything ever written, with deletes
+as tombstones so late updates older than an applied delete lose.
+
+Scale notes: merges touch only affected buckets; the LWW is the agg-based
+reduce with map-side partial aggregation; tombstones bound late-data
+correctness without unbounded streaming state; MOR bounds write
+amplification at high batch rates.
 """
 
 from __future__ import annotations
@@ -52,7 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..model import LWW_ORDER, MERGE_KEYS, TRANSCRIPTS_SCHEMA
-from ..operators.lww import lww_reduce
+from ..operators.lww import lww_reduce, lww_reduce_salted
 
 INTERNAL_COLS = ("_lsn", "_deleted")
 
@@ -66,6 +70,7 @@ class MergeResult:
     keys_deleted: int = 0
     late_events: int = 0
     buckets_rewritten: int = 0
+    buckets_compacted: int = 0
     snapshot_version: int = -1
     extra: dict = field(default_factory=dict)
 
@@ -76,10 +81,20 @@ class ParquetLakeTarget:
     # cannot (MERGE forbids multiple source rows per target key).
     handles_raw_events = True
 
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 16,
+        mode: str = "cow",
+        compact_threshold: int = 8,
+    ):
+        assert mode in ("cow", "mor")
         self.spark = spark
         self.root = root.rstrip("/")
         self.n_buckets = n_buckets
+        self.mode = mode
+        self.compact_threshold = compact_threshold
         self._snap_dir = os.path.join(self.root, "_snapshots")
 
     # ---------------------------------------------------------------- meta
@@ -131,11 +146,10 @@ class ParquetLakeTarget:
         DataFrame; its rows get _lsn=-1 so any real event wins LWW)."""
         if self.exists():
             raise ValueError(f"target already exists at {self.root}")
-        logical = T.StructType(
-            (schema or TRANSCRIPTS_SCHEMA).fields
-        )
+        logical = T.StructType((schema or TRANSCRIPTS_SCHEMA).fields)
         manifest = {
             "version": 0,
+            "mode": self.mode,
             "batch_id": -1,
             "current_schema_id": 0,
             "schemas": {"0": logical.jsonValue()},
@@ -144,13 +158,13 @@ class ParquetLakeTarget:
             "metrics": {},
         }
         if initial is not None:
-            data = (
-                initial.withColumn("_lsn", F.lit(-1).cast("long"))
-                .withColumn("_deleted", F.lit(False))
-            )
-            commit_rel, files_by_bucket = self._write_file_group(data)
+            data = initial.withColumn(
+                "_lsn", F.lit(-1).cast("long")
+            ).withColumn("_deleted", F.lit(False))
+            files_by_bucket = self._write_file_group(data)
             manifest["buckets"] = {
-                b: {"files": fs, "schema_id": 0} for b, fs in files_by_bucket.items()
+                b: {"layers": [{"files": fs, "schema_id": 0}]}
+                for b, fs in files_by_bucket.items()
             }
         self._commit(manifest)
 
@@ -174,24 +188,53 @@ class ParquetLakeTarget:
             cols.append(F.col(ic))
         return df.select(*cols)
 
-    def read_internal(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current rows incl. tombstones + internal cols, optionally bucket-pruned."""
-        m = self.manifest()
-        cur_schema = T.StructType.fromJson(m["schemas"][str(m["current_schema_id"])])
-        groups: dict[int, list[str]] = {}
-        for b, entry in m["buckets"].items():
-            if buckets is not None and int(b) not in buckets:
-                continue
-            groups.setdefault(entry["schema_id"], []).extend(entry["files"])
-        full = T.StructType(
+    def _internal_schema(self, cur_schema: T.StructType) -> T.StructType:
+        return T.StructType(
             cur_schema.fields
             + [
                 T.StructField("_lsn", T.LongType()),
                 T.StructField("_deleted", T.BooleanType()),
             ]
         )
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        """LWW-resolve multi-layer rows to the newest version per key."""
+        payload = [c for c in df.columns if c not in MERGE_KEYS]
+        as_ev = df.select(
+            F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.col("_lsn").alias("lsn"),
+            *MERGE_KEYS,
+            *[F.col(c) for c in payload if c not in INTERNAL_COLS],
+        )
+        red = lww_reduce(as_ev, keys=MERGE_KEYS, order=LWW_ORDER)
+        return red.select(
+            *MERGE_KEYS,
+            *[F.col(c) for c in payload if c not in INTERNAL_COLS],
+            F.col("lsn").alias("_lsn"),
+            (F.col("op") == "D").alias("_deleted"),
+        ).select(*df.columns)
+
+    def read_internal(
+        self, buckets: list[int] | None = None, resolve: bool | None = None
+    ) -> DataFrame:
+        """Rows incl. tombstones + internal cols, optionally bucket-pruned.
+        resolve=None → auto: LWW-resolve iff any selected bucket has more
+        than one layer (merge-on-read)."""
+        m = self.manifest()
+        cur_schema = T.StructType.fromJson(m["schemas"][str(m["current_schema_id"])])
+        groups: dict[int, list[str]] = {}
+        multi_layer = False
+        for b, entry in m["buckets"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            layers = entry["layers"]
+            multi_layer = multi_layer or len(layers) > 1
+            for layer in layers:
+                groups.setdefault(layer["schema_id"], []).extend(layer["files"])
         if not groups:
-            return self.spark.createDataFrame([], full)
+            return self.spark.createDataFrame(
+                [], self._internal_schema(cur_schema)
+            )
         parts = []
         for sid, files in groups.items():
             df = self.spark.read.parquet(*files)
@@ -199,7 +242,9 @@ class ParquetLakeTarget:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if resolve is None:
+            resolve = multi_layer
+        return self._resolve(out) if resolve else out
 
     def read(self) -> DataFrame:
         """The logical table: live rows only, internal columns hidden."""
@@ -208,13 +253,9 @@ class ParquetLakeTarget:
 
     # ---------------------------------------------------------------- write
 
-    def _write_file_group(
-        self, data: DataFrame
-    ) -> tuple[str, dict[str, list[str]]]:
-        """Write one copy-on-write file group partitioned by bucket; returns
-        (relative commit dir, {bucket: [absolute files]})."""
-        rel = f"data/v{uuid.uuid4().hex[:12]}"
-        out_dir = os.path.join(self.root, rel)
+    def _write_file_group(self, data: DataFrame) -> dict[str, list[str]]:
+        """Write one file group partitioned by bucket → {bucket: [files]}."""
+        out_dir = os.path.join(self.root, f"data/v{uuid.uuid4().hex[:12]}")
         (
             data.withColumn("_bucket", self._bucket_col())
             .repartition(F.col("_bucket"))
@@ -235,7 +276,7 @@ class ParquetLakeTarget:
             ]
             if files:
                 files_by_bucket[b] = files
-        return rel, files_by_bucket
+        return files_by_bucket
 
     # ---------------------------------------------------------------- DDL
 
@@ -264,8 +305,7 @@ class ParquetLakeTarget:
         salted: bool = False,
         salt_buckets: int = 16,
     ) -> MergeResult:
-        """Apply one LWW-reduced micro-batch (one row per (conv_id, turn_idx),
-        columns = change-event envelope op/lsn/ts + current payload columns).
+        """Apply one micro-batch of change events (raw or pre-reduced).
 
         Idempotent: replaying an already-committed batch_id OF THE SAME STREAM
         LINEAGE is a no-op. Spark's foreachBatch batch ids are monotone only
@@ -279,11 +319,16 @@ class ParquetLakeTarget:
                                snapshot_version=m["version"])
 
         cur_schema = T.StructType.fromJson(m["schemas"][str(m["current_schema_id"])])
-        payload_cols = [
-            f.name for f in cur_schema.fields if f.name not in MERGE_KEYS
-        ]
+        payload_cols = [f.name for f in cur_schema.fields if f.name not in MERGE_KEYS]
 
         wm = {k: int(v) for k, v in m.get("watermarks", {}).items()}
+        if self.mode == "mor":
+            # single-Spark-job fast path: metrics ride the write via observe,
+            # per-bucket watermarks come from parquet footers
+            return self._merge_mor(
+                reduced, batch_id, stream_id, salted, salt_buckets,
+                m, cur_schema, payload_cols, wm,
+            )
         batch = reduced.withColumn("_b", self._bucket_col()).cache()
         # late events = lsn at-or-below the bucket's committed high-watermark
         # (duplicate/out-of-order replays); computed in the same single agg
@@ -294,16 +339,16 @@ class ParquetLakeTarget:
             )
             late_col = F.sum(
                 F.when(
-                    F.col("lsn") <= F.coalesce(
-                        wm_map[F.col("_b")], F.lit(-(2**62))
-                    ),
+                    F.col("lsn")
+                    <= F.coalesce(wm_map[F.col("_b")], F.lit(-(2**62))),
                     1,
                 ).otherwise(0)
             ).alias("n_late")
         else:
             late_col = F.sum(F.lit(0)).alias("n_late")
         stats = batch.groupBy("_b").agg(
-            F.count(F.lit(1)).alias("n"), F.max("lsn").alias("max_lsn"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("lsn").alias("max_lsn"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
             F.count_distinct(*[F.col(k) for k in MERGE_KEYS]).alias("n_keys"),
             late_col,
@@ -318,56 +363,56 @@ class ParquetLakeTarget:
                                snapshot_version=m["version"])
 
         affected = sorted(int(r["_b"]) for r in stats)
-        events_in = sum(r["n"] for r in stats)
+        events_in = int(sum(r["n"] for r in stats))
 
-        # union current bucket contents (tombstones included) with the batch
-        target = self.read_internal(buckets=affected)
+        def reduce_events(ev: DataFrame) -> DataFrame:
+            return (
+                lww_reduce_salted(
+                    ev, keys=MERGE_KEYS, order=LWW_ORDER, salt_buckets=salt_buckets
+                )
+                if salted
+                else lww_reduce(ev, keys=MERGE_KEYS, order=LWW_ORDER)
+            )
+
+        ev_cols = ["op", "lsn", "ts", *MERGE_KEYS] + [
+            c for c in payload_cols if c != "ts"
+        ]
+        batch_events = batch.drop("_b").select(*ev_cols)
+
+        n_compacted = 0
+        # union current bucket contents (tombstones incl.) with the batch
+        target = self.read_internal(buckets=affected, resolve=False)
         as_events = target.select(
-            F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.when(F.col("_deleted"), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
             F.col("_lsn").alias("lsn"),
             F.col("ts"),
             *MERGE_KEYS,
             *[F.col(c) for c in payload_cols if c != "ts"],
         )
-        batch_events = batch.drop("_b").select(*as_events.columns)
-        unioned = as_events.unionByName(batch_events)
-        if salted:
-            from ..operators.lww import lww_reduce_salted
+        merged = reduce_events(as_events.unionByName(batch_events))
 
-            merged = lww_reduce_salted(
-                unioned, keys=MERGE_KEYS, order=LWW_ORDER, salt_buckets=salt_buckets
-            )
-        else:
-            merged = lww_reduce(unioned, keys=MERGE_KEYS, order=LWW_ORDER)
         data = merged.select(
-            *MERGE_KEYS,
-            *[F.col(c) for c in payload_cols if c != "ts"],
-            F.col("ts"),
+            *[F.col(f.name) for f in cur_schema.fields],
             F.col("lsn").alias("_lsn"),
             (F.col("op") == "D").alias("_deleted"),
         )
-        # project to current schema column order + internals
-        data = data.select(
-            *[F.col(f.name) for f in cur_schema.fields], "_lsn", "_deleted"
-        )
-
-        _, files_by_bucket = self._write_file_group(data)
+        files_by_bucket = self._write_file_group(data)
 
         n_deleted = int(sum(r["n_del"] for r in stats))
         late = int(sum(r["n_late"] for r in stats))
+        n_keys = int(sum(r["n_keys"] for r in stats))
         for r in stats:
             b = str(int(r["_b"]))
             wm[b] = max(wm.get(b, -1), int(r["max_lsn"]))
         batch.unpersist()
 
-        new_buckets = dict(m["buckets"])
+        new_buckets = {b: dict(e) for b, e in m["buckets"].items()}
         for b, files in files_by_bucket.items():
-            new_buckets[b] = {"files": files, "schema_id": m["current_schema_id"]}
-        # an affected bucket can end up empty (everything tombstoned is still
-        # written as tombstones, so files always exist); defensive anyway:
-        for b in affected:
-            if str(b) not in files_by_bucket and str(b) in new_buckets:
-                new_buckets.pop(str(b))
+            new_buckets[b] = {
+                "layers": [{"files": files, "schema_id": m["current_schema_id"]}]
+            }
 
         res = MergeResult(
             batch_id=batch_id,
@@ -375,12 +420,11 @@ class ParquetLakeTarget:
             events_in=events_in,
             # with raw (unreduced) input these are touched-keys / delete-event
             # counts; with pre-reduced input they are exact per-key counts
-            keys_upserted=int(sum(r["n_keys"] for r in stats)) - n_deleted
-            if events_in == sum(r["n_keys"] for r in stats)
-            else int(sum(r["n_keys"] for r in stats)),
+            keys_upserted=n_keys - n_deleted if events_in == n_keys else n_keys,
             keys_deleted=n_deleted,
             late_events=late,
             buckets_rewritten=len(affected),
+            buckets_compacted=n_compacted,
         )
         m["version"] += 1
         m["batch_id"] = batch_id
@@ -393,9 +437,192 @@ class ParquetLakeTarget:
             "keys_deleted": res.keys_deleted,
             "late_events": res.late_events,
             "buckets_rewritten": res.buckets_rewritten,
+            "buckets_compacted": res.buckets_compacted,
         }
         res.snapshot_version = self._commit(m)
         return res
+
+    def _merge_mor(
+        self,
+        reduced: DataFrame,
+        batch_id: int,
+        stream_id: str,
+        salted: bool,
+        salt_buckets: int,
+        m: dict,
+        cur_schema: T.StructType,
+        payload_cols: list[str],
+        wm: dict[str, int],
+    ) -> MergeResult:
+        """Merge-on-read fast path: ONE Spark job per batch.
+
+        - the delta write is the only action; batch metrics (event count,
+          delete events, late events) ride it via DataFrame.observe
+        - per-bucket LSN watermarks and touched-key counts come from the
+          written delta files' parquet footers (driver-side, no scan)
+        - no target read at all: reads resolve LWW across delta layers;
+          buckets past compact_threshold layers are compacted inline
+        """
+        from pyspark.sql import Observation
+
+        import pyarrow.parquet as pq
+
+        batch = reduced.withColumn("_b", self._bucket_col())
+        if wm:
+            wm_map = F.create_map(
+                *[F.lit(x) for b, l in wm.items() for x in (int(b), l)]
+            )
+            late_expr = F.sum(
+                F.when(
+                    F.col("lsn")
+                    <= F.coalesce(wm_map[F.col("_b")], F.lit(-(2**62))),
+                    1,
+                ).otherwise(0)
+            ).alias("n_late")
+        else:
+            late_expr = F.max(F.lit(0)).alias("n_late")
+        obs = Observation(f"cdc-batch-{batch_id}")
+        observed = batch.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
+            late_expr,
+        )
+        ev_cols = ["op", "lsn", "ts", *MERGE_KEYS] + [
+            c for c in payload_cols if c != "ts"
+        ]
+        batch_events = observed.drop("_b").select(*ev_cols)
+        merged = (
+            lww_reduce_salted(
+                batch_events, keys=MERGE_KEYS, order=LWW_ORDER,
+                salt_buckets=salt_buckets,
+            )
+            if salted
+            else lww_reduce(batch_events, keys=MERGE_KEYS, order=LWW_ORDER)
+        )
+        data = merged.select(
+            *[F.col(f.name) for f in cur_schema.fields],
+            F.col("lsn").alias("_lsn"),
+            (F.col("op") == "D").alias("_deleted"),
+        )
+        files_by_bucket = self._write_file_group(data)  # the one action
+        stats = obs.get
+        events_in = int(stats["n"] or 0)
+
+        if events_in == 0:
+            m["version"] += 1
+            m["batch_id"] = batch_id
+            m["stream_id"] = stream_id
+            self._commit(m)
+            return MergeResult(batch_id=batch_id, applied=True,
+                               snapshot_version=m["version"])
+
+        # per-bucket watermark (max _lsn) + touched keys from parquet footers
+        n_keys = 0
+        for b, files in files_by_bucket.items():
+            mx = wm.get(b, -1)
+            for fpath in files:
+                md = pq.ParquetFile(fpath).metadata
+                n_keys += md.num_rows
+                col_idx = next(
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == "_lsn"
+                )
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col_idx).statistics
+                    if st is not None and st.max is not None:
+                        mx = max(mx, int(st.max))
+            wm[b] = mx
+
+        new_buckets = {b: dict(e) for b, e in m["buckets"].items()}
+        for b, files in files_by_bucket.items():
+            layer = {"files": files, "schema_id": m["current_schema_id"]}
+            if b not in new_buckets:
+                new_buckets[b] = {"layers": [layer]}
+            else:
+                new_buckets[b]["layers"] = new_buckets[b]["layers"] + [layer]
+
+        over = [
+            int(b)
+            for b, e in new_buckets.items()
+            if len(e["layers"]) > self.compact_threshold
+        ]
+        if over:
+            new_buckets.update(
+                self._compact_layers(new_buckets, over, cur_schema)
+            )
+
+        n_del = int(stats["n_del"] or 0)
+        res = MergeResult(
+            batch_id=batch_id,
+            applied=True,
+            events_in=events_in,
+            keys_upserted=n_keys - n_del if events_in == n_keys else n_keys,
+            keys_deleted=n_del,
+            late_events=int(stats["n_late"] or 0),
+            buckets_rewritten=len(files_by_bucket),
+            buckets_compacted=len(over),
+        )
+        m["version"] += 1
+        m["batch_id"] = batch_id
+        m["stream_id"] = stream_id
+        m["buckets"] = new_buckets
+        m["watermarks"] = wm
+        m["metrics"] = {
+            "events_in": res.events_in,
+            "keys_upserted": res.keys_upserted,
+            "keys_deleted": res.keys_deleted,
+            "late_events": res.late_events,
+            "buckets_rewritten": res.buckets_rewritten,
+            "buckets_compacted": res.buckets_compacted,
+        }
+        res.snapshot_version = self._commit(m)
+        return res
+
+    def _compact_layers(
+        self,
+        buckets: dict,
+        which: list[int],
+        cur_schema: T.StructType,
+    ) -> dict:
+        """Rewrite the given buckets' layer stacks into single LWW-resolved
+        base layers (tombstones retained for late-event correctness)."""
+        groups: dict[int, list[str]] = {}
+        for b in which:
+            for layer in buckets[str(b)]["layers"]:
+                groups.setdefault(layer["schema_id"], []).extend(layer["files"])
+        parts = []
+        for sid, files in groups.items():
+            parts.append(self._align(self.spark.read.parquet(*files), cur_schema))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        resolved = self._resolve(df)
+        files_by_bucket = self._write_file_group(resolved)
+        cur_sid = int(self.manifest()["current_schema_id"])
+        return {
+            sb: {"layers": [{"files": files_by_bucket[sb], "schema_id": cur_sid}]}
+            for sb in files_by_bucket
+        }
+
+    def compact(self, buckets: list[int] | None = None) -> int:
+        """Explicit compaction API (maintenance job): resolve layer stacks.
+        Returns number of buckets compacted."""
+        m = self.manifest()
+        cur_schema = T.StructType.fromJson(m["schemas"][str(m["current_schema_id"])])
+        which = [
+            int(b)
+            for b, e in m["buckets"].items()
+            if (buckets is None or int(b) in buckets) and len(e["layers"]) > 1
+        ]
+        if not which:
+            return 0
+        new_entries = self._compact_layers(m["buckets"], which, cur_schema)
+        m["buckets"].update(new_entries)
+        m["version"] += 1
+        self._commit(m)
+        return len(which)
 
     # ------------------------------------------------------------- cleanup
 

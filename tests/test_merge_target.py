@@ -27,9 +27,12 @@ def make_events(spark, rows, schema=CHANGE_EVENT_SCHEMA):
     return spark.createDataFrame(rows, schema)
 
 
-@pytest.fixture()
-def target(spark, tmp_path):
-    t = ParquetLakeTarget(spark, str(tmp_path / "tbl"), n_buckets=4)
+@pytest.fixture(params=["cow", "mor"])
+def target(spark, tmp_path, request):
+    t = ParquetLakeTarget(
+        spark, str(tmp_path / "tbl"), n_buckets=4, mode=request.param,
+        compact_threshold=3,
+    )
     t.create()
     yield t
     t.drop()
@@ -165,6 +168,29 @@ def test_normalization_applied(spark, target):
         0,
     )
     assert state(target)[("a", 0)][1] == "héllo world"  # NFC + ws collapse
+
+
+def test_mor_compaction_preserves_state(spark, tmp_path):
+    """MOR: layer stacks grow per batch, compact inline past the threshold,
+    and state is identical before/after compaction (tombstones retained)."""
+    t = ParquetLakeTarget(
+        spark, str(tmp_path / "mor"), n_buckets=2, mode="mor", compact_threshold=3
+    )
+    t.create()
+    for i in range(5):
+        t_events = [ev("U", 10 * i + j, 10 * i + j, "a", j, text=f"v{i}")
+                    for j in range(3)]
+        t_events.append(ev("D", 10 * i + 9, 10 * i + 9, "b", i))
+        apply_batch(t, make_events(spark, t_events), i, CDCConfig(normalize=False))
+    layer_counts = [len(e["layers"]) for e in t.manifest()["buckets"].values()]
+    assert max(layer_counts) <= 4  # inline compaction bounded the stacks
+    before = sorted(tuple(r) for r in t.read().collect())
+    assert t.compact() >= 0
+    after = sorted(tuple(r) for r in t.read().collect())
+    assert before == after
+    assert {r[0] for r in after} == {"a"}  # b's keys all deleted
+    assert [r for r in after if r[1] == 0][0][3] == "v4"  # last writer won
+    t.drop()
 
 
 def test_multibatch_equals_oneshot_lww(spark, target):
