@@ -91,12 +91,14 @@ def near_dup_pairs(
 
 
 def _plane_weight(p: int, d: int) -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-1, 1): derived from
-    md5 (portable to the oracle; no RNG state)."""
-    h = F.conv(F.substring(F.md5(F.lit(f"plane:{p}:{d}")), 1, 8), 16, 10).cast(
-        "long"
-    )
-    return (h % 20011) / 10005.5 - 1.0
+    """Deterministic pseudo-random hyperplane weight in [-1, 1): md5-derived,
+    computed driver-side into a plain float literal (planes are constants —
+    emitting md5/conv expression trees made Catalyst fold thousands of
+    nodes per query; a literal is free)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16)
+    return F.lit((h % 20011) / 10005.5 - 1.0)
 
 
 def lsh_bucket(
