@@ -28,7 +28,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 N_EVENTS = int(os.environ.get("BENCH_N_EVENTS", 1_000_000))
 N_BATCHES = int(os.environ.get("BENCH_N_BATCHES", 4))
 HOT_FRAC = float(os.environ.get("BENCH_HOT_FRAC", 0.2))
-SALTED = os.environ.get("BENCH_SALTED", "1") == "1"
+# salting is off by default: the agg-based LWW absorbs hot keys via map-side
+# partial aggregation; salting (two-phase) only pays off when a single key's
+# post-partial volume still overwhelms one reducer (see BENCH.md)
+SALTED = os.environ.get("BENCH_SALTED", "0") == "1"
 MODE = os.environ.get("BENCH_MODE", "mor")  # cow | mor
 
 

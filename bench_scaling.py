@@ -34,7 +34,7 @@ d = tempfile.mkdtemp(prefix=f"scale{cores}-")
 tgt = ParquetLakeTarget(spark, f"{d}/tbl", n_buckets=32, mode="mor")
 tgt.create()
 bounds = [int(n * i / nb) for i in range(nb + 1)]
-cfg = CDCConfig(salted=True, normalize=True)
+cfg = CDCConfig(salted=False, normalize=True)
 t0 = time.time()
 for i in range(nb):
     apply_batch(tgt, raw.filter((F.col("lsn") >= bounds[i]) & (F.col("lsn") < bounds[i+1])), i, cfg)

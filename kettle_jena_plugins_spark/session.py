@@ -60,7 +60,10 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.parquet.compression.codec": "snappy",
-        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        # local mode runs executors in the driver JVM: size the heap for
+        # cores × (shuffle sort buffers + parquet writers) or local[32]
+        # spills while local[8] doesn't and scaling inverts
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.ui.enabled": "false",
     }
