@@ -64,6 +64,13 @@ def get_spark(
         # cores × (shuffle sort buffers + parquet writers) or local[32]
         # spills while local[8] doesn't and scaling inverts
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+        # G1 (the default) collapses under 32 concurrent task threads in one
+        # JVM (measured 6x slowdown on agg-heavy stages); ParallelGC restores
+        # near-linear thread scaling for this allocation pattern
+        "spark.driver.extraJavaOptions": os.environ.get(
+            "SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"
+        ),
+        "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.ui.enabled": "false",
     }
