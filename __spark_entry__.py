@@ -160,6 +160,71 @@ def q_construct_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lsn", "doc_canon")
 
 
+def q_serialize_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serializer sink's N-TRIPLE line generation (JenaSerializerStep
+    serializeModel → Rdf11 N-TRIPLE): one `<subj> <prop> "obj" .` line per
+    non-null statement, quote-escaped — pure narrow projection + explode."""
+    from kettle_jena_plugins_spark.operators.serialize import ntriples_lines
+
+    ch = change_events(spark, sf_dir).withColumn(
+        "subject",
+        F.concat(
+            F.lit("ex:conv/"), F.col("conv_id"), F.lit("/"),
+            F.col("turn_idx").cast("string"), F.lit("#"),
+            F.col("lsn").cast("string"),
+        ),
+    )
+    return ntriples_lines(
+        ch,
+        subject_col="subject",
+        statements={
+            "http://example.org/transcript#role": "role",
+            "http://example.org/transcript#text": "text",
+            "http://example.org/transcript#tool": "tool",
+        },
+    )
+
+
+def q_typed_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XSD typed-literal conversion (convertSqlValueToRdf,
+    JenaModelStep.java:439-533): canonical `"lex"^^<xsd:type>` / `"lex"@lang`
+    forms for string/integer/dateTime/date/language-tagged values, with
+    lexical gating (malformed → null) — all built-in expressions."""
+    from kettle_jena_plugins_spark.functions.typed_literals import (
+        xsd_date,
+        xsd_datetime,
+        xsd_integer,
+        xsd_string,
+    )
+
+    ch = change_events(spark, sf_dir)
+    return ch.select(
+        "lsn",
+        xsd_string(F.col("text")).alias("text_lit"),
+        xsd_string(F.col("role"), language="en").alias("role_lang"),
+        xsd_integer(F.col("turn_idx")).alias("turn_lit"),
+        xsd_datetime(F.col("ts")).alias("ts_lit"),
+        xsd_date(F.col("ts")).alias("date_lit"),
+    )
+
+
+def q_value_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-source dispatch (RdfPropertyNameSource,
+    JenaModelStepMeta.java:165-182): `#{field}` binds the row column,
+    `${var}` resolves driver-side from job conf, else literal."""
+    from kettle_jena_plugins_spark.functions.substitution import resolve_value
+
+    variables = {"deployment": "prod", "ns": "http://example.org"}
+    ch = change_events(spark, sf_dir)
+    return ch.select(
+        "lsn",
+        resolve_value("#{role}").alias("field_val"),
+        resolve_value("${deployment}", variables).alias("var_val"),
+        resolve_value("${ns}/static", variables).alias("mixed_val"),
+        resolve_value("plain-literal").alias("lit_val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -192,14 +257,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kettle_jena_plugins_spark.operators.dedup import minhash_candidates
 
     return minhash_candidates(
-        _docs_with_dups(spark, sf_dir), n=5, k=12, bands=4
+        _docs_with_dups(spark, sf_dir), n=5, k=12, bands=3
     )
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kettle_jena_plugins_spark.operators.dedup import jaccard_pairs
+    """Propose-then-verify near-dup pipeline: MinHash-LSH candidates, exact
+    n-gram Jaccard verification on candidates only (the full-corpus shingle
+    self-join is quadratic in hot-shingle document frequency — see
+    operators/dedup.py:jaccard_verify)."""
+    from kettle_jena_plugins_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_candidates,
+    )
 
-    return jaccard_pairs(_docs_with_dups(spark, sf_dir), n=5, threshold=0.8)
+    d = _docs_with_dups(spark, sf_dir)
+    cands = minhash_candidates(d, n=5, k=12, bands=3)
+    return jaccard_verify(d, cands, n=5, threshold=0.8)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,9 +293,11 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kettle_jena_plugins_spark.operators.similarity import near_dup_pairs
+    from kettle_jena_plugins_spark.operators.similarity import (
+        near_dup_pairs_vectorized,
+    )
 
-    return near_dup_pairs(_embeds(spark, sf_dir), threshold=0.4)
+    return near_dup_pairs_vectorized(_embeds(spark, sf_dir), threshold=0.4)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,6 +308,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _embeds(spark, sf_dir)
     queries_df = em.filter(F.col("vec_id") % 25 == 0)
     return ann_topk(em, queries_df, dim=64, k=5, n_planes=3, n_tables=6)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized approximate top-k (rows-only check; recall vs
+    brute force asserted in tests/test_training_ops.py)."""
+    from kettle_jena_plugins_spark.operators.similarity import ivf_topk
+
+    em = _embeds(spark, sf_dir)
+    queries_df = em.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(em, queries_df, k=5, n_centroids=8, nprobe=4)
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,6 +362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_topk": q_embed_topk,
     "embed_near_dup": q_embed_near_dup,
     "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
     "text_profile": q_text_profile,
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -283,6 +370,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_merge_policies": q_group_merge_policies,
     "combine_coalesce": q_combine_coalesce,
     "construct_doc": q_construct_doc,
+    "serialize_ntriples": q_serialize_ntriples,
+    "typed_literals": q_typed_literals,
+    "value_substitution": q_value_substitution,
     "cdc_lww_state": q_cdc_lww_state,
     "cdc_lww_state_salted": q_cdc_lww_state_salted,
     "cdc_final_op_counts": q_cdc_final_op_counts,
@@ -333,19 +423,45 @@ sh AS (
 )"""
 
 
-_K_MINHASH, _BANDS = 12, 4
+_K_MINHASH, _BANDS = 12, 3
 _ROWS = _K_MINHASH // _BANDS
-_SIG_LIST = ", ".join(
-    f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
-    for i in range(_K_MINHASH)
+_P_MINHASH = 2_147_483_647
+
+def _uh_consts(k: int) -> list[tuple[int, int]]:
+    # mirrors operators/dedup.py:uh_consts — the oracle must use identical
+    # universal-hash constants
+    return [
+        (
+            (1 + 2654435761 * (i + 1)) % _P_MINHASH or 1,
+            (40503 * (i + 7)) % _P_MINHASH,
+        )
+        for i in range(k)
+    ]
+
+_SIG_COLS = ", ".join(
+    f"min(({a} * h + {b}) % {_P_MINHASH}) AS m{i}"
+    for i, (a, b) in enumerate(_uh_consts(_K_MINHASH))
 )
 _BAND_VALUES = ", ".join(
-    "({b}, md5({parts}))".format(
+    "({b}, {parts})".format(
         b=b,
-        parts=" || '|' || ".join(f"sig[{b * _ROWS + r + 1}]" for r in range(_ROWS)),
+        parts=" || '|' || ".join(
+            f"CAST(m{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+        ),
     )
     for b in range(_BANDS)
 )
+_MINHASH_CTES = f"""
+hv AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(g), 1, 15))::BIGINT % {_P_MINHASH} AS h
+    FROM (SELECT doc_id, unnest(sh) AS g FROM sh)
+),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM hv GROUP BY doc_id),
+banded AS (
+    SELECT doc_id, b.band, b.bucket
+    FROM sig, LATERAL (VALUES {_BAND_VALUES}) AS b(band, bucket)
+)"""
 
 _COS = (
     "round(list_inner_product(qv, cv) / "
@@ -378,11 +494,7 @@ FROM docs2 GROUP BY 1
     "dedup_minhash_lsh": f"""
 WITH {_DOCS_DUPS_CTE},
 {_shingles_cte(5, "docs2")},
-sig AS (SELECT doc_id, [{_SIG_LIST}] AS sig FROM sh),
-banded AS (
-    SELECT doc_id, b.band, b.bucket
-    FROM sig, LATERAL (VALUES {_BAND_VALUES}) AS b(band, bucket)
-)
+{_MINHASH_CTES}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -390,15 +502,22 @@ FROM banded a JOIN banded b
     "dedup_jaccard": f"""
 WITH {_DOCS_DUPS_CTE},
 {_shingles_cte(5, "docs2")},
-ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
-inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS i
-    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-    GROUP BY 1, 2, 3, 4
+{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(sa.sh, sb.sh)) AS i,
+           len(sa.sh) AS na, len(sb.sh) AS nb
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
 )
 SELECT id_a, id_b, round(i / (na + nb - i), 6) AS jaccard
-FROM inter WHERE round(i / (na + nb - i), 6) >= 0.8
+FROM scored WHERE round(i / (na + nb - i), 6) >= 0.8
 """,
     "dedup_simhash": """
 WITH toks AS (
@@ -534,6 +653,47 @@ SELECT lsn,
            CASE WHEN text IS NOT NULL THEN '{_NS_T}text=' || text END,
            CASE WHEN tool IS NOT NULL THEN '{_NS_T}tool=' || tool END
        ) AS doc_canon
+FROM changes
+""",
+    "serialize_ntriples": f"""
+WITH {CHANGES_ORACLE_CTE},
+subj AS (
+    SELECT 'ex:conv/' || conv_id || '/' || CAST(turn_idx AS VARCHAR)
+               || '#' || CAST(lsn AS VARCHAR) AS s,
+           role, text, tool
+    FROM changes
+)
+SELECT '<' || s || '> <{_NS_T}role> "' || replace(role, '"', '\\"') || '" .' AS value
+FROM subj WHERE role IS NOT NULL
+UNION ALL
+SELECT '<' || s || '> <{_NS_T}text> "' || replace(text, '"', '\\"') || '" .'
+FROM subj WHERE text IS NOT NULL
+UNION ALL
+SELECT '<' || s || '> <{_NS_T}tool> "' || replace(tool, '"', '\\"') || '" .'
+FROM subj WHERE tool IS NOT NULL
+""",
+    "typed_literals": f"""
+WITH {CHANGES_ORACLE_CTE}
+SELECT lsn,
+       CASE WHEN text IS NOT NULL THEN
+            '"' || text || '"^^<http://www.w3.org/2001/XMLSchema#string>' END
+           AS text_lit,
+       '"' || role || '"@en' AS role_lang,
+       '"' || CAST(turn_idx AS VARCHAR)
+           || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS turn_lit,
+       '"' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+           || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>' AS ts_lit,
+       '"' || strftime(ts, '%Y-%m-%d')
+           || '"^^<http://www.w3.org/2001/XMLSchema#date>' AS date_lit
+FROM changes
+""",
+    "value_substitution": f"""
+WITH {CHANGES_ORACLE_CTE}
+SELECT lsn,
+       role AS field_val,
+       'prod' AS var_val,
+       'http://example.org/static' AS mixed_val,
+       'plain-literal' AS lit_val
 FROM changes
 """,
     "cdc_lww_state": _LWW_RANKED

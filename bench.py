@@ -100,6 +100,7 @@ def main() -> None:
         t0 = time.time()
         fn(spark, SF_DIR).count()
         queries[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {queries[name]}s", file=sys.stderr, flush=True)
 
     wall, extra = bench_cdc_apply(spark)
     queries["cdc_apply"] = round(wall, 3)

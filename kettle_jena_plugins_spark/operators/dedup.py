@@ -63,18 +63,81 @@ def exact_dedup(
 
 # ------------------------------------------------------------------ minhash
 
-def minhash_signature(shingle_col: Column, k: int = 12) -> Column:
-    """k portable min-hashes: sig_i = min over shingles of md5(i || ':' || s).
+P_MINHASH = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 
-    md5 on both engines → the oracle reproduces signatures exactly.
-    """
-    def hasher(i: int):
-        # single-arg lambda: F.transform feeds (element, index) to two-arg
-        # lambdas, which would clobber the minhash index
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
 
-    sigs = [F.array_min(F.transform(shingle_col, hasher(i))) for i in range(k)]
-    return F.array(*sigs)
+def uh_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash constants (a_i, b_i) for h_i(x) =
+    (a_i·x + b_i) mod p — a_i ∈ [1, p), products bounded by 2^62 (exact in
+    int64 on both Spark and DuckDB, so the oracle reproduces signatures
+    bit-for-bit)."""
+    return [
+        (
+            (1 + 2654435761 * (i + 1)) % P_MINHASH or 1,
+            (40503 * (i + 7)) % P_MINHASH,
+        )
+        for i in range(k)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 12,
+) -> DataFrame:
+    """(id, m0..m{k-1}) — k min-hashes per document.
+
+    Scale design: each shingle is md5-hashed ONCE into a 60-bit int; the k
+    hash functions are integer affine maps of that base hash, and the k mins
+    are ONE hash aggregation (map-side partial combine, whole-stage codegen).
+    The earlier formulation (k md5s per shingle inside array_min∘transform)
+    was both 12× the hashing and — worse — re-expanded by projection
+    collapse into a full signature recompute per band on each self-join
+    side."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("g")
+    )
+    h = (
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+        % F.lit(P_MINHASH)
+    ).alias("h")
+    return (
+        ex.select("id", h)
+        .groupBy("id")
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P_MINHASH)).alias(
+                    f"m{i}"
+                )
+                for i, (a, b) in enumerate(uh_consts(k))
+            ]
+        )
+    )
+
+
+def band_buckets(sigs: DataFrame, k: int = 12, bands: int = 3) -> DataFrame:
+    """(id, band, bucket): one LSH bucket per band; bucket key = the band's
+    signature slice joined as a string. rows-per-band r = k/bands sets the
+    similarity threshold curve t ≈ (1/bands)^(1/r)."""
+    rows = k // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
 
 
 def minhash_candidates(
@@ -83,33 +146,15 @@ def minhash_candidates(
     id_col: str = "doc_id",
     n: int = 5,
     k: int = 12,
-    bands: int = 4,
+    bands: int = 3,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing ≥1 minhash band bucket.
 
-    rows = k/bands per band; bucket key = md5 of the band's signature slice.
-    Self-join on (band, bucket) — never on raw text.
-    """
-    rows = k // bands
-    sig = minhash_signature(shingles(text_col, n), k)
-    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.col("sig")[b * rows + r] for r in range(rows)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    Self-join on (band, bucket) — never on raw text. The signature agg is a
+    shuffle barrier, so AQE reuses one exchange for both join sides instead
+    of recomputing shingle hashes. Default bands=3 (r=4) targets the ≈0.76
+    similarity knee — matched to the ≥0.8 Jaccard verify threshold."""
+    banded = band_buckets(minhash_signatures(df, text_col, id_col, n, k), k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -157,6 +202,39 @@ def jaccard_pairs(
     return inter.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard restricted to candidate pairs (id_a, id_b) — the
+    scale path: MinHash-LSH proposes, this verifies. Two equi-joins on doc id
+    bring each side's shingle set to the pair, then |∩| via array_intersect —
+    NO shingle self-join, so cost is O(candidates · shingles/doc), bounded by
+    duplicate density instead of Σ_g d_g² (hot shingles made the full
+    inverted-index formulation quadratic: a 5-gram common to all n docs alone
+    yields n² joined rows)."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    j = (
+        candidates.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        ).join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ------------------------------------------------------------------- simhash

@@ -24,6 +24,30 @@ from pyspark.sql import functions as F
 FORMATS = ("ntriples", "canon", "jsonl", "parquet")
 
 
+def ntriples_lines(
+    docs: DataFrame,
+    subject_col: str = "subject",
+    statements: dict[str, str] | None = None,
+) -> DataFrame:
+    """One `<subj> <prop> "obj" .` line per non-null statement value — the
+    N-TRIPLE serialization (Rdf11.java:81) as a pure column expression, so
+    the write stays a narrow map over the scan (no shuffle, no UDF)."""
+    stmts = statements or {}
+    lines = [
+        F.when(
+            F.col(col).isNotNull(),
+            F.concat(
+                F.lit("<"), F.col(subject_col), F.lit(f"> <{prop}> "),
+                F.lit('"'),
+                F.regexp_replace(F.col(col).cast("string"), r'"', r'\\"'),
+                F.lit('" .'),
+            ),
+        )
+        for prop, col in stmts.items()
+    ]
+    return docs.select(F.explode(F.array_compact(F.array(*lines))).alias("value"))
+
+
 def serialize_docs(
     docs: DataFrame,
     path: str,
@@ -53,22 +77,7 @@ def serialize_docs(
             F.col(subject_col).cast("string").alias("value")
         ).write.mode("overwrite").text(path)
     else:  # ntriples
-        stmts = statements or {}
-        lines = []
-        for prop, col in stmts.items():
-            lines.append(
-                F.when(
-                    F.col(col).isNotNull(),
-                    F.concat(
-                        F.lit("<"), F.col(subject_col), F.lit(f"> <{prop}> "),
-                        F.lit('"'),
-                        F.regexp_replace(F.col(col).cast("string"), r'"', r'\\"'),
-                        F.lit('" .'),
-                    ),
-                )
-            )
-        exploded = docs.select(
-            F.explode(F.array_compact(F.array(*lines))).alias("value")
-        )
-        exploded.write.mode("overwrite").text(path)
+        ntriples_lines(out, subject_col, statements).write.mode(
+            "overwrite"
+        ).text(path)
     return time.time() - t0

@@ -52,15 +52,24 @@ def brute_force_topk(
     id tie-break so results are reproducible across engines/float orders.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2norm(F.col(vec_col)).alias("cn"),
     )
+    # norms are computed once per vector pre-join (not per pair): identical
+    # float values, 1/3 of the per-pair aggregate work
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), round_dp).alias("cos"),
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            round_dp,
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
@@ -80,14 +89,71 @@ def near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
     Exact O(n²) formulation — at scale, gate through lsh_buckets first."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2norm(F.col(vec_col)).alias("nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("cos"),
+        F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            round_dp,
+        ).alias("cos"),
     ).filter(F.col("cos") >= threshold)
+
+
+def near_dup_pairs_vectorized(
+    df: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via Arrow-batched numpy matmul:
+    the corpus matrix (normalized, float64) is broadcast to executors; each
+    Arrow batch computes batch × corpusᵀ with BLAS and emits only pairs with
+    id_a < id_b and rounded cos ≥ threshold. ~100× the throughput of the
+    per-pair expression path (Catalyst higher-order functions are
+    interpreted per element).
+
+    Scale envelope: the broadcast side is n·dim·8 bytes (e.g. 10M × 256-dim
+    = 20 GB — too big). Beyond broadcastable size, tile the corpus into
+    broadcastable chunks and union the outputs, or pre-gate candidate pairs
+    with lsh_buckets and score only candidates (near_dup_pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, m))
+
+    def score(batches):
+        ids_c, mc = bc.value
+        for batch in batches:
+            v = np.vstack(batch[vec_col].to_numpy()).astype("float64")
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            s = np.round(v @ mc.T, round_dp)
+            aid = batch[id_col].to_numpy()
+            keep = (s >= threshold) & (aid[:, None] < ids_c[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": aid[ai], "id_b": ids_c[bj], "cos": s[ai, bj]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        score, schema="id_a long, id_b long, cos double"
+    )
 
 
 def _plane_weight(p: int, d: int) -> Column:
@@ -134,6 +200,127 @@ def lsh_buckets(
     )
 
 
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<s,cid>> of cosine(vec, centroid) — centroids are
+    driver-side float literals (tiny: n_centroids × dim), so assignment is a
+    narrow map over the scan: NO join, NO shuffle, broadcast-free."""
+    import math
+
+    scored = []
+    for cid, c in enumerate(centroids):
+        lit_vec = F.array(*[F.lit(float(x)) for x in c])
+        norm = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        scored.append(
+            F.struct(
+                (dot(vec, lit_vec) / (l2norm(vec) * F.lit(norm))).alias("s"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    return F.array(*scored)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seeds = the n_centroids corpus
+    vectors with smallest xxhash64(id) (stable at any parallelism), refined
+    by Lloyd iterations expressed as DataFrame aggs (posexplode → per-(cid,
+    dim) avg) — the only full-corpus pass per iteration is one groupBy."""
+    seeds = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.xxhash64(F.col("i")))
+        .orderBy("h", "i")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent = [[float(x) for x in r["v"]] for r in seeds]
+    for _ in range(n_iters):
+        assigned = corpus.select(
+            F.array_max(_centroid_scores(F.col(vec_col), cent))["cid"].alias(
+                "cid"
+            ),
+            F.col(vec_col).alias("v"),
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .collect()
+        )
+        for r in means:
+            cent[r["cid"]] = [float(p["m"]) for p in r["pm"]]
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are binned to their nearest
+    coarse centroid (narrow map — centroid literals, no shuffle); each query
+    probes its nprobe nearest cells and brute-forces only those candidates.
+    Candidate volume ≈ corpus · nprobe / n_centroids. Pass a precomputed
+    `centroids` list to reuse the index across query batches."""
+    cent = centroids or ivf_centroids(
+        corpus, n_centroids, n_iters, id_col, vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2norm(F.col(vec_col)).alias("cn"),
+        F.array_max(_centroid_scores(F.col(vec_col), cent))["cid"].alias("cid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2norm(F.col(vec_col)).alias("qn"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(_centroid_scores(F.col(vec_col), cent))
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cid"],
+            )
+        ).alias("cid"),
+    )
+    cand = (
+        c.join(F.broadcast(q), on="cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -152,6 +339,7 @@ def ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        l2norm(F.col(vec_col)).alias("cn"),
         F.explode(lsh_buckets(F.col(vec_col), dim, n_planes, n_tables)).alias(
             "tb"
         ),
@@ -159,6 +347,7 @@ def ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        l2norm(F.col(vec_col)).alias("qn"),
         F.explode(lsh_buckets(F.col(vec_col), dim, n_planes, n_tables)).alias(
             "tb"
         ),
@@ -166,7 +355,7 @@ def ann_topk(
     cand = (
         c.join(F.broadcast(q), on="tb")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -176,7 +365,9 @@ def ann_topk(
         cand.select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -42,6 +42,40 @@ def test_ann_recall_vs_brute_force(spark):
     assert all(qid in {a for a, _ in approx} for qid, _ in exact)
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    from kettle_jena_plugins_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    em = embeds(spark).cache()
+    q = em.filter(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(em, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(em, q, k=5, n_centroids=8, nprobe=4).collect()
+    }
+    em.unpersist()
+    recall = len(exact & approx) / len(exact)
+    # probing half the cells of an 8-cell index recovers most true neighbors
+    # even on near-random vectors
+    assert recall > 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_centroids_deterministic(spark):
+    from kettle_jena_plugins_spark.operators.similarity import ivf_centroids
+
+    em = embeds(spark)
+    c1 = ivf_centroids(em, n_centroids=4, n_iters=1)
+    c2 = ivf_centroids(em.repartition(7), n_centroids=4, n_iters=1)
+    assert len(c1) == 4
+    for a, b in zip(c1, c2):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+
+
 def test_simhash_pairs_finds_near_dups(spark):
     from kettle_jena_plugins_spark.operators.dedup import simhash_pairs
 
