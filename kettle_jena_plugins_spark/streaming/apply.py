@@ -43,6 +43,20 @@ class CDCConfig:
     # extra pass counting raw late events pre-reduction (only meaningful when
     # pre_reduce is on; the raw path's sink already counts raw lates)
     count_late_raw: bool = False
+    # streaming-only: drop redelivered WAL entries (same lsn) across
+    # micro-batches before foreachBatch, with state bounded by the event-time
+    # watermark (streaming/dedup.py). A cost optimization — the sink's
+    # idempotent LWW merge already converges under duplicates.
+    stream_dedup: bool = False
+    stream_dedup_watermark: str = "10 minutes"
+    # input-side parallelism floor. WAL segments arrive as few large files
+    # (binlog shipping), so the scan often yields far fewer partitions than
+    # the cluster has cores — the narrow phase (validate → pandas-UDF
+    # normalize → partial LWW agg) then runs nearly serial regardless of
+    # executor count, capping scaling efficiency. "auto" repartitions the
+    # batch to 2×defaultParallelism when the scan is coarser than that;
+    # None disables; an int sets the target explicitly.
+    input_partitions: int | str | None = "auto"
 
 
 def _append_metrics(path: str, record: dict) -> None:
@@ -64,6 +78,17 @@ def apply_batch(
     ParquetLakeTarget.merge_batch)."""
     cfg = cfg or CDCConfig()
 
+    # 0. input-parallelism floor (see CDCConfig.input_partitions)
+    if cfg.input_partitions is not None:
+        sc = events.sparkSession.sparkContext
+        target_p = (
+            sc.defaultParallelism * 2
+            if cfg.input_partitions == "auto"
+            else int(cfg.input_partitions)
+        )
+        if events.rdd.getNumPartitions() < target_p:
+            events = events.repartition(target_p)
+
     # 1. validation split (SHACL analogue): bad rows → dead letter
     ok, dead = validate_split(events, cfg.validation)
     n_dead = 0
@@ -74,9 +99,17 @@ def apply_batch(
             dead.write.mode("append").parquet(cfg.dead_letter_dir)
         dead.unpersist()
 
-    # 2. vectorized normalization of the text payload (pure pandas UDF)
-    if cfg.normalize and "text" in ok.columns:
-        ok = ok.withColumn("text", normalize_text(F.col("text")))
+    # 2. vectorized normalization of the text payload (pure pandas UDF).
+    # Applied AFTER the LWW reduce (winners only — ~u× fewer rows through
+    # the Python/Arrow stage at u updates/key; measured: normalizing raw
+    # events made the pipeline anti-scale at high core counts because JVM
+    # task threads + Python workers oversubscribe the host). Winner
+    # selection never reads the payload, and normalize is idempotent, so
+    # reduce-then-normalize ≡ normalize-then-reduce.
+    def _normalize(df: DataFrame) -> DataFrame:
+        if cfg.normalize and "text" in df.columns:
+            return df.withColumn("text", normalize_text(F.col("text")))
+        return df
 
     # 3. schema evolution: ALTER before the merge plan is analyzed
     if cfg.evolve:
@@ -126,14 +159,20 @@ def apply_batch(
             if cfg.salted
             else lww_reduce(ok)
         )
+        reduced = _normalize(reduced)  # winners only
     else:
         reduced = ok
 
     # 5. idempotent MERGE commit (raw path: the sink's own LWW is salted
-    #    for hot-key skew instead of a pre-reduce)
+    #    for hot-key skew instead of a pre-reduce; normalization runs inside
+    #    the sink, after its reduce)
     sink_kwargs = {}
     if not pre_reduce and getattr(target, "handles_raw_events", False):
-        sink_kwargs = {"salted": cfg.salted, "salt_buckets": cfg.salt_buckets}
+        sink_kwargs = {
+            "salted": cfg.salted,
+            "salt_buckets": cfg.salt_buckets,
+            "transform_reduced": _normalize if cfg.normalize else None,
+        }
     res = target.merge_batch(reduced, batch_id, stream_id=stream_id, **sink_kwargs)
     res.extra["dead_letter_rows"] = n_dead
     res.extra["late_keys"] = res.late_events
@@ -177,6 +216,10 @@ def run_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(events_dir)
+    if cfg.stream_dedup:
+        from .dedup import watermarked_dedup
+
+        stream = watermarked_dedup(stream, cfg.stream_dedup_watermark)
 
     stream_id = os.path.abspath(checkpoint_dir)  # one lineage per checkpoint
 

@@ -125,7 +125,8 @@ class IcebergTarget:
             f"""MERGE INTO {self.table} t
             USING _cdc_batch s
             ON {on}
-            WHEN MATCHED AND (s.ts, s.lsn) > (t.ts, t._lsn) THEN UPDATE SET {set_cols}
+            WHEN MATCHED AND struct(s.ts, s.lsn) > struct(t.ts, t._lsn)
+                THEN UPDATE SET {set_cols}
             WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"""
         )
         wm = reduced.groupBy(

@@ -304,6 +304,7 @@ class ParquetLakeTarget:
         stream_id: str = "default",
         salted: bool = False,
         salt_buckets: int = 16,
+        transform_reduced=None,
     ) -> MergeResult:
         """Apply one micro-batch of change events (raw or pre-reduced).
 
@@ -327,7 +328,7 @@ class ParquetLakeTarget:
             # per-bucket watermarks come from parquet footers
             return self._merge_mor(
                 reduced, batch_id, stream_id, salted, salt_buckets,
-                m, cur_schema, payload_cols, wm,
+                m, cur_schema, payload_cols, wm, transform_reduced,
             )
         batch = reduced.withColumn("_b", self._bucket_col()).cache()
         # late events = lsn at-or-below the bucket's committed high-watermark
@@ -392,6 +393,11 @@ class ParquetLakeTarget:
             *[F.col(c) for c in payload_cols if c != "ts"],
         )
         merged = reduce_events(as_events.unionByName(batch_events))
+        if transform_reduced is not None:
+            # post-reduce payload transform (e.g. normalization): runs on one
+            # row per key instead of per event; must be idempotent — existing
+            # table rows pass through it again on COW rewrites
+            merged = transform_reduced(merged)
 
         data = merged.select(
             *[F.col(f.name) for f in cur_schema.fields],
@@ -453,6 +459,7 @@ class ParquetLakeTarget:
         cur_schema: T.StructType,
         payload_cols: list[str],
         wm: dict[str, int],
+        transform_reduced=None,
     ) -> MergeResult:
         """Merge-on-read fast path: ONE Spark job per batch.
 
@@ -500,6 +507,12 @@ class ParquetLakeTarget:
             if salted
             else lww_reduce(batch_events, keys=MERGE_KEYS, order=LWW_ORDER)
         )
+        if transform_reduced is not None:
+            # normalize AFTER the reduce: the Python/Arrow stage then sees one
+            # row per key, not per event (~10x less at update-heavy batches).
+            # Ordering is safe — LWW winner selection uses (ts, lsn, op), not
+            # the payload, and the transform is idempotent.
+            merged = transform_reduced(merged)
         data = merged.select(
             *[F.col(f.name) for f in cur_schema.fields],
             F.col("lsn").alias("_lsn"),
@@ -518,22 +531,32 @@ class ParquetLakeTarget:
                                snapshot_version=m["version"])
 
         # per-bucket watermark (max _lsn) + touched keys from parquet footers
-        n_keys = 0
-        for b, files in files_by_bucket.items():
-            mx = wm.get(b, -1)
-            for fpath in files:
-                md = pq.ParquetFile(fpath).metadata
-                n_keys += md.num_rows
-                col_idx = next(
-                    i
-                    for i in range(md.num_columns)
-                    if md.schema.column(i).name == "_lsn"
-                )
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(col_idx).statistics
-                    if st is not None and st.max is not None:
-                        mx = max(mx, int(st.max))
-            wm[b] = mx
+        # (footers read concurrently — this loop is driver-side serial cost
+        # that otherwise caps scaling efficiency at high parallelism)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _footer(fpath: str) -> tuple[int, int]:
+            md = pq.ParquetFile(fpath).metadata
+            col_idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == "_lsn"
+            )
+            mx = -1
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                if st is not None and st.max is not None:
+                    mx = max(mx, int(st.max))
+            return md.num_rows, mx
+
+        all_files = [
+            (b, f) for b, files in files_by_bucket.items() for f in files
+        ]
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            footers = list(pool.map(lambda bf: _footer(bf[1]), all_files))
+        n_keys = sum(nr for nr, _ in footers)
+        for (b, _), (_, mx) in zip(all_files, footers):
+            wm[b] = max(wm.get(b, -1), mx)
 
         new_buckets = {b: dict(e) for b, e in m["buckets"].items()}
         for b, files in files_by_bucket.items():

@@ -212,3 +212,32 @@ def test_multibatch_equals_oneshot_lww(spark, target):
     }
     ch.unpersist()
     assert got == want
+
+
+def test_normalize_post_reduce_applies_to_winners(spark, target):
+    """normalize=True: final table text is normalized (collapsed whitespace,
+    trimmed) on both the pre-reduce (COW union) and raw-event (MOR) sink
+    paths, and LWW winner selection is unaffected by messy payloads."""
+    rows = [
+        ev("I", 1, 0, "c1", 0, text="  hello \t world "),
+        ev("U", 2, 10, "c1", 0, text=" final   text "),  # winner
+        ev("I", 3, 0, "c2", 1, text="already clean"),
+    ]
+    apply_batch(target, make_events(spark, rows), 0, CDCConfig(normalize=True))
+    state = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in target.read().collect()
+    }
+    assert state[("c1", 0)] == "final text"  # LWW winner, ws-collapsed
+    assert state[("c2", 1)] == "already clean"
+
+    # a later batch replacing the winner also lands normalized
+    apply_batch(
+        target,
+        make_events(spark, [ev("U", 4, 20, "c1", 0, text="  newer   value ")]),
+        1,
+        CDCConfig(normalize=True),
+    )
+    state = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in target.read().collect()
+    }
+    assert state[("c1", 0)] == "newer value"

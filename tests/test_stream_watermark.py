@@ -35,6 +35,9 @@ T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
 
 def _write_segment(spark, path, rows):
+    import time
+
+    time.sleep(1.05)  # distinct mtimes → deterministic file-source ordering
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(path)
@@ -104,15 +107,18 @@ def test_windowed_op_counts_drops_late(spark, tmp_path):
             ("U", 3, T0 + m + 3 * s, "c0", 0),
         ],
     )
-    # batch 2: watermark (max_ts of batch 1 = 00:01:30) finalizes window 1;
-    # the 00:00:50 event is LATE (< watermark) and must be dropped; the
-    # 00:02:30 event advances the watermark past window 2
+    # batch 2 advances the watermark to 00:02:30 → window 1 finalizes
+    # (emitted + state evicted) at this batch's end
+    _write_segment(spark, wal, [("I", 4, T0 + 2 * m + 3 * s, "c0", 2)])
+    # batch 3: the 00:00:50 event is LATE — its window was already emitted
+    # and evicted, so the watermark filter must drop it (a re-emit of window
+    # 1 would violate append-mode exactly-once); 00:03:30 closes window 3
     _write_segment(
         spark,
         wal,
         [
             ("I", 5, T0 + 5 * s, "c0", 9),  # late — dropped
-            ("I", 6, T0 + 2 * m + 3 * s, "c0", 3),
+            ("I", 6, T0 + 3 * m + 3 * s, "c0", 3),
         ],
     )
     out: list = []
@@ -122,11 +128,55 @@ def test_windowed_op_counts_drops_late(spark, tmp_path):
         lambda df, bid: out.extend(df.collect()),
         lambda st: windowed_op_counts(st, window="1 minute", watermark="0 seconds"),
     )
-    finalized = {(r["win_start"], r["op"]): r["n_events"] for r in out}
+    finalized = {}
+    for r in out:
+        key = (r["win_start"], r["op"])
+        assert key not in finalized, f"window re-emitted: {key}"
+        finalized[key] = r["n_events"]
     assert finalized[(T0, "I")] == 2  # late event NOT counted
     assert finalized[(T0 + m, "U")] == 1
+    assert finalized[(T0 + 2 * m, "I")] == 1
     # the last window never finalizes under availableNow (no later event)
-    assert all(ws < T0 + 2 * m for ws, _ in finalized)
+    assert all(ws < T0 + 3 * m for ws, _ in finalized)
+
+
+def test_stream_dedup_in_apply_pipeline(spark, tmp_path):
+    """run_stream(stream_dedup=True) converges to the same table state as the
+    raw pipeline while feeding fewer events to the sink."""
+    from kettle_jena_plugins_spark.sources.changes import change_events
+    from kettle_jena_plugins_spark.streaming.apply import CDCConfig, run_stream
+    from kettle_jena_plugins_spark.targets.parquet_lake import ParquetLakeTarget
+
+    ch = change_events(spark, "/root/testdata/sf0.001")
+    dup = ch.unionByName(ch.limit(300))  # redelivered entries
+    wal = str(tmp_path / "wal")
+    dup.coalesce(2).write.parquet(wal)
+
+    states = []
+    events_in = []
+    for flag in (False, True):
+        tbl = str(tmp_path / f"tbl{int(flag)}")
+        mpath = str(tmp_path / f"m{int(flag)}.jsonl")
+        tgt = ParquetLakeTarget(spark, tbl, n_buckets=4)
+        tgt.create()
+        run_stream(
+            spark,
+            wal,
+            tgt,
+            str(tmp_path / f"ckpt{int(flag)}"),
+            CDCConfig(
+                normalize=False, stream_dedup=flag, metrics_path=mpath
+            ),
+        )
+        states.append(sorted(tuple(r) for r in tgt.read().collect()))
+        import json as _json
+
+        with open(mpath) as f:
+            events_in.append(
+                sum(_json.loads(line)["events_in"] for line in f)
+            )
+    assert states[0] == states[1]
+    assert events_in[1] < events_in[0]
 
 
 if __name__ == "__main__":
