@@ -354,6 +354,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame index
+    (every_n stride over the decoded frame count; decode stubbed)."""
+    from kettle_jena_plugins_spark.operators.multimodal import (
+        frame_sample,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(_docs(spark, sf_dir))
+    return frame_sample(media, every_n=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -367,6 +379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "group_merge_policies": q_group_merge_policies,
     "combine_coalesce": q_combine_coalesce,
     "construct_doc": q_construct_doc,
@@ -613,6 +626,19 @@ SELECT doc_id AS media_id,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 1
                  ELSE 1 + strlen(text) % 7 END AS INTEGER) AS n_frames
 FROM documents
+""",
+    "multimodal_frames": """
+WITH f AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CASE WHEN doc_id % 3 = 0 THEN 1
+                ELSE 1 + strlen(text) % 7 END AS n_frames
+    FROM documents
+)
+SELECT media_id, kind, CAST(unnest(range(0, n_frames, 3)) AS INTEGER) AS frame_idx
+FROM f
 """,
     "group_merge_policies": f"""
 WITH {CHANGES_ORACLE_CTE},

@@ -107,6 +107,16 @@ def main() -> None:
     )
     queries: dict[str, float] = {}
 
+    # session warmup: fork+import the Python UDF workers once (≈1s/worker,
+    # otherwise billed to whichever query happens to run first)
+    from pyspark.sql import functions as F
+
+    from kettle_jena_plugins_spark.functions.textnorm import normalize_text
+
+    spark.range(0, 100_000, numPartitions=CPUS * 2).select(
+        normalize_text(F.col("id").cast("string"))
+    ).count()
+
     # analytical / operator queries at SF_DIR (count() forces full execution)
     for name in sorted(entry.queries()):
         fn = entry.queries()[name]
