@@ -521,13 +521,18 @@ cand AS (
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
+shh AS (
+    SELECT doc_id,
+           list_transform(sh, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS sh
+    FROM sh
+),
 scored AS (
     SELECT c.id_a, c.id_b,
            len(list_intersect(sa.sh, sb.sh)) AS i,
            len(sa.sh) AS na, len(sb.sh) AS nb
     FROM cand c
-    JOIN sh sa ON sa.doc_id = c.id_a
-    JOIN sh sb ON sb.doc_id = c.id_b
+    JOIN shh sa ON sa.doc_id = c.id_a
+    JOIN shh sb ON sb.doc_id = c.id_b
 )
 SELECT id_a, id_b, round(i / (na + nb - i), 6) AS jaccard
 FROM scored WHERE round(i / (na + nb - i), 6) >= 0.8

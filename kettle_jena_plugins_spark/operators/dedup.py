@@ -218,8 +218,18 @@ def jaccard_verify(
     NO shingle self-join, so cost is O(candidates · shingles/doc), bounded by
     duplicate density instead of Σ_g d_g² (hot shingles made the full
     inverted-index formulation quadratic: a 5-gram common to all n docs alone
-    yields n² joined rows)."""
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    yields n² joined rows).
+
+    Shingles are hashed to 60-bit ints before the joins (one md5 per
+    shingle): the intersect compares longs instead of strings and the join
+    ships far fewer bytes per document. A hash collision would miscount |∩|
+    by 1 — negligible at 2^60, and the DuckDB oracle hashes identically so
+    the comparison stays exact."""
+    hashed = F.transform(
+        shingles(text_col, n),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    sh = df.select(F.col(id_col).alias("id"), hashed.alias("sh"))
     j = (
         candidates.join(
             sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
