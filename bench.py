@@ -70,22 +70,26 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
         cfg = CDCConfig(salted=SALTED, normalize=True)
         # best-of-N repeats: identical runs vary up to 3x on this shared
         # host (BENCH.md); min-wall is the least-noisy estimator
-        wall = float("inf")
+        wall, n_events = float("inf"), 0
         for rep in range(int(os.environ.get("BENCH_REPEATS", 2))):
             tgt = ParquetLakeTarget(
                 spark, f"{d}/tbl{rep}", n_buckets=32, mode=MODE
             )
             tgt.create()
             t0 = time.time()
+            rep_events = 0
             for i in range(N_BATCHES):
                 b = per_batch.filter(
                     (F.col("lsn") >= bounds[i]) & (F.col("lsn") < bounds[i + 1])
                 )
                 res = apply_batch(tgt, b, i, cfg)
-            wall = min(wall, time.time() - t0)
+                rep_events += res.events_in
+            # measured event count (dups included), not an assumed dup_frac
+            if time.time() - t0 < wall:
+                wall, n_events = time.time() - t0, rep_events
         return wall, {
-            "events": int(N_EVENTS * 1.05),
-            "events_per_sec": round(N_EVENTS * 1.05 / wall),
+            "events": n_events,
+            "events_per_sec": round(n_events / wall),
             "final_rows": tgt.read().count(),
             "salted": SALTED,
             "mode": MODE,

@@ -115,7 +115,7 @@ def lww_state(
 
     This is the one-shot (bounded) equivalent of replaying the log through the
     incremental MERGE sink — convergence between the two is the core
-    correctness invariant (tests/test_convergence.py).
+    correctness invariant (tests/test_merge_target.py).
     """
     reduced = (
         lww_reduce_salted(changes, keys, order)

@@ -7,7 +7,7 @@ serialize, EndToEndIT.java:60-92), re-expressed as one micro-batch function.
 
 Exactly-once: Structured Streaming checkpoints source offsets; the target's
 batch-id gate makes the sink idempotent, so replay of a failed/killed batch
-converges to byte-identical state (tests/test_resume.py).
+converges to byte-identical state (tests/test_stream_resume.py).
 """
 
 from __future__ import annotations
@@ -160,6 +160,12 @@ def apply_batch(
             else lww_reduce(ok)
         )
         reduced = _normalize(reduced)  # winners only
+    elif not getattr(target, "handles_raw_events", False):
+        # explicit pre_reduce=False with a sink that has no transform_reduced
+        # hook: normalize the raw stream directly so the step is never
+        # silently skipped (slower — Python stage before the reduction — but
+        # correct; the auto path above never lands here)
+        reduced = _normalize(ok)
     else:
         reduced = ok
 

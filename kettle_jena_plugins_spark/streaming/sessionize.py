@@ -73,6 +73,43 @@ def _session_fn(gap_ms: int):
     return fn
 
 
+_UNIT_MS = {
+    "ms": 1, "millisecond": 1, "milliseconds": 1,
+    "s": _MS, "sec": _MS, "secs": _MS, "second": _MS, "seconds": _MS,
+    "m": 60 * _MS, "min": 60 * _MS, "mins": 60 * _MS,
+    "minute": 60 * _MS, "minutes": 60 * _MS,
+    "h": 3600 * _MS, "hour": 3600 * _MS, "hours": 3600 * _MS,
+    "d": 86400 * _MS, "day": 86400 * _MS, "days": 86400 * _MS,
+}
+
+
+def _parse_gap_ms(gap: str) -> int:
+    """Spark-style interval string → ms; supports multi-part forms like
+    '1 hour 30 minutes'. Raises a descriptive ValueError on bad input."""
+    parts = gap.strip().lower().split()
+    if not parts or len(parts) % 2:
+        raise ValueError(
+            f"invalid gap {gap!r}: expected '<n> <unit>' pairs, e.g. "
+            "'90 seconds' or '1 hour 30 minutes'"
+        )
+    total = 0
+    for n, unit in zip(parts[::2], parts[1::2]):
+        if unit not in _UNIT_MS:
+            raise ValueError(
+                f"invalid gap unit {unit!r} in {gap!r}: accepted units are "
+                f"{sorted(_UNIT_MS)}"
+            )
+        try:
+            total += int(n) * _UNIT_MS[unit]
+        except ValueError:
+            raise ValueError(
+                f"invalid gap amount {n!r} in {gap!r}: expected an integer"
+            ) from None
+    if total <= 0:
+        raise ValueError(f"gap must be positive, got {gap!r}")
+    return total
+
+
 def sessionize(
     stream: DataFrame,
     gap: str = "5 minutes",
@@ -84,13 +121,7 @@ def sessionize(
     no event for `gap` of EVENT time (watermark-driven, late-data-safe).
     Sessions still open at end-of-stream are not emitted (their state
     persists in the checkpoint and closes on a later run — resume-safe)."""
-    n, unit = gap.split()
-    unit_ms = {
-        "second": _MS, "seconds": _MS,
-        "minute": 60 * _MS, "minutes": 60 * _MS,
-        "hour": 3600 * _MS, "hours": 3600 * _MS,
-    }[unit]
-    gap_ms = int(n) * unit_ms
+    gap_ms = _parse_gap_ms(gap)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(key_col)
