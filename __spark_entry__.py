@@ -301,8 +301,11 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only check; recall vs brute force
-    asserted in tests/test_similarity.py)."""
+    """LSH-bucketed approximate top-k. The hyperplanes are md5-derived
+    constants (similarity._plane_matrix), so the DuckDB oracle reproduces the
+    exact bucket assignment (md5 → substr → arithmetic) and the same
+    candidate set; recall vs brute force is additionally asserted in
+    tests/test_training_ops.py."""
     from kettle_jena_plugins_spark.operators.similarity import ann_topk
 
     em = _embeds(spark, sf_dir)
@@ -311,13 +314,23 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized approximate top-k (rows-only check; recall vs
-    brute force asserted in tests/test_training_ops.py)."""
-    from kettle_jena_plugins_spark.operators.similarity import ivf_topk
+    """IVF coarse-quantized approximate top-k. Centroids here are the
+    n_centroids corpus vectors with smallest md5(id) (n_iters=0) — exact
+    data vectors on both engines, so the DuckDB oracle reproduces seed
+    selection, cell assignment, probing and ranking bit-for-bit. The
+    Lloyd-refined xxhash64-seeded path is covered by the recall test in
+    tests/test_training_ops.py."""
+    from kettle_jena_plugins_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
 
     em = _embeds(spark, sf_dir)
+    cent = ivf_centroids(em, n_centroids=8, n_iters=0, seed_hash="md5")
     queries_df = em.filter(F.col("vec_id") % 25 == 0)
-    return ivf_topk(em, queries_df, k=5, n_centroids=8, nprobe=4)
+    return ivf_topk(
+        em, queries_df, k=5, n_centroids=8, nprobe=4, centroids=cent
+    )
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,8 +346,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling hash (pandas UDF — rows-only check; cross-checked
-    against a pure-python reimplementation in tests/test_text_ops.py)."""
+    """Polynomial rolling hash over UTF-8 bytes mod 2^61-1 (pandas UDF);
+    the DuckDB oracle folds the same bytes with HUGEINT list_reduce."""
     from kettle_jena_plugins_spark.operators.text import rolling_fingerprint
 
     return _docs(spark, sf_dir).select(
@@ -581,6 +594,114 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_inner_product(a.v, b.v) /
             (sqrt(list_inner_product(a.v, a.v)) *
              sqrt(list_inner_product(b.v, b.v))), 4) >= 0.4
+""",
+    # ann_topk: the hyperplanes are md5-derived constants — identical
+    # arithmetic to similarity._plane_matrix ((md5 hex[0:8] % 20011) /
+    # 10005.5 - 1), so bucket assignment, the candidate set, and the exact
+    # rank over candidates all reproduce in SQL (validated bit-exact).
+    "ann_topk": """
+WITH planes AS (
+    SELECT t, p, list_transform(generate_series(0, 63), d ->
+        ((('0x' || substr(md5('plane:' || CAST(t * 1000 + p AS VARCHAR)
+                              || ':' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+          % 20011) / 10005.5) - 1.0) AS w
+    FROM range(0, 6) tt(t), range(0, 3) pp(p)
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+    SELECT e.vec_id, pl.t AS tbl,
+           SUM(CASE WHEN list_inner_product(e.v, pl.w) >= 0
+                    THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+    FROM e CROSS JOIN planes pl GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM bucketed q JOIN bucketed c ON q.tbl = c.tbl AND q.bucket = c.bucket
+    WHERE q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           round(list_inner_product(q.v, n.v) /
+                 (sqrt(list_inner_product(q.v, q.v)) *
+                  sqrt(list_inner_product(n.v, n.v))), 4) AS cos
+    FROM cand c
+    JOIN e q ON q.vec_id = c.query_id
+    JOIN e n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS "rank" FROM scored
+)
+SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5
+""",
+    # ivf_topk: centroids = the 8 corpus vectors with smallest md5(id)
+    # (n_iters=0 on the Spark side) — data vectors, bit-identical in both
+    # engines; assignment/probe argmax breaks ties by higher cid, matching
+    # array_max over struct(s, cid).
+    "ivf_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+    SELECT vec_id, v, row_number() OVER (
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM e
+),
+cent AS (
+    SELECT rn - 1 AS cid, v AS cv, sqrt(list_inner_product(v, v)) AS cn
+    FROM seeds WHERE rn <= 8
+),
+scores AS (
+    SELECT e.vec_id, c.cid,
+           list_inner_product(e.v, c.cv) /
+               (sqrt(list_inner_product(e.v, e.v)) * c.cn) AS s
+    FROM e CROSS JOIN cent c
+),
+assigned AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS r
+        FROM scores) WHERE r = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS r
+        FROM scores WHERE vec_id % 25 = 0) WHERE r <= 4
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assigned a ON a.cid = p.cid
+    WHERE a.vec_id <> p.query_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           round(list_inner_product(q.v, n.v) /
+                 (sqrt(list_inner_product(q.v, q.v)) *
+                  sqrt(list_inner_product(n.v, n.v))), 4) AS cos
+    FROM cand c
+    JOIN e q ON q.vec_id = c.query_id
+    JOIN e n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS "rank" FROM scored
+)
+SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5
+""",
+    # rolling_fingerprint: fold the UTF-8 bytes (via hex(encode(text)))
+    # with HUGEINT arithmetic mod 2^61-1 — same recurrence as the pandas UDF.
+    "rolling_fingerprint": """
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL ELSE
+       CAST(list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+               list_transform(generate_series(1, octet_length(encode(text))),
+                   i -> CAST(('0x' || substr(hex(encode(text)), 2 * i - 1, 2)
+                             )::INTEGER AS HUGEINT))),
+           (acc, b) -> (acc * 257 + b) % 2305843009213693951
+       ) AS BIGINT) END AS fp
+FROM documents
 """,
     "text_profile": f"""
 WITH base AS (

@@ -225,14 +225,24 @@ def ivf_centroids(
     n_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_hash: str = "xxhash64",
 ) -> list[list[float]]:
     """Deterministic IVF coarse quantizer: seeds = the n_centroids corpus
-    vectors with smallest xxhash64(id) (stable at any parallelism), refined
+    vectors with smallest hash(id) (stable at any parallelism), refined
     by Lloyd iterations expressed as DataFrame aggs (posexplode → per-(cid,
-    dim) avg) — the only full-corpus pass per iteration is one groupBy."""
+    dim) avg) — the only full-corpus pass per iteration is one groupBy.
+
+    seed_hash="md5" ranks seeds by the md5 hex of the id string — portable
+    to engines without Spark's xxhash64 (the DuckDB oracle reproduces the
+    exact seed set this way); "xxhash64" is the cheaper default."""
+    h = (
+        F.md5(F.col("i").cast("string").cast("binary"))
+        if seed_hash == "md5"
+        else F.xxhash64(F.col("i"))
+    )
     seeds = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .withColumn("h", F.xxhash64(F.col("i")))
+        .withColumn("h", h)
         .orderBy("h", "i")
         .limit(n_centroids)
         .collect()
