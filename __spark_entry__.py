@@ -293,11 +293,14 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dup through the scale-safe blocked path
+    (cogrouped block-pair matmuls — no driver collect, no O(corpus)
+    broadcast; near_dup_pairs_vectorized remains the small-corpus path)."""
     from kettle_jena_plugins_spark.operators.similarity import (
-        near_dup_pairs_vectorized,
+        near_dup_pairs_blocked,
     )
 
-    return near_dup_pairs_vectorized(_embeds(spark, sf_dir), threshold=0.4)
+    return near_dup_pairs_blocked(_embeds(spark, sf_dir), threshold=0.4)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -110,6 +110,16 @@ def near_dup_pairs(
     ).filter(F.col("cos") >= threshold)
 
 
+def _round_half_up(x, dp: int):
+    """HALF_UP rounding on the sign-adjusted value — matches Spark's F.round
+    (BigDecimal HALF_UP) and DuckDB's round; numpy's np.round is
+    half-to-even, which diverges at exact tie values."""
+    import numpy as np
+
+    scale = 10.0 ** dp
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def near_dup_pairs_vectorized(
     df: DataFrame,
     threshold: float = 0.98,
@@ -124,15 +134,17 @@ def near_dup_pairs_vectorized(
     per-pair expression path (Catalyst higher-order functions are
     interpreted per element).
 
-    Scale envelope: the broadcast side is n·dim·8 bytes (e.g. 10M × 256-dim
-    = 20 GB — too big). Beyond broadcastable size, tile the corpus into
-    broadcastable chunks and union the outputs, or pre-gate candidate pairs
-    with lsh_buckets and score only candidates (near_dup_pairs)."""
+    SMALL-CORPUS fast path: collects the whole corpus to the driver
+    (n·dim·8 bytes must fit driver + executor memory). The scale-safe
+    default for unknown corpus sizes is near_dup_pairs_blocked — same exact
+    result, no driver collect, bounded task memory."""
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
     pdf = df.select(id_col, vec_col).toPandas()
+    if pdf.empty:
+        return spark.createDataFrame([], "id_a long, id_b long, cos double")
     ids = pdf[id_col].to_numpy()
     m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
     m /= np.linalg.norm(m, axis=1, keepdims=True)
@@ -141,9 +153,11 @@ def near_dup_pairs_vectorized(
     def score(batches):
         ids_c, mc = bc.value
         for batch in batches:
+            if batch.empty:
+                continue
             v = np.vstack(batch[vec_col].to_numpy()).astype("float64")
             v /= np.linalg.norm(v, axis=1, keepdims=True)
-            s = np.round(v @ mc.T, round_dp)
+            s = _round_half_up(v @ mc.T, round_dp)
             aid = batch[id_col].to_numpy()
             keep = (s >= threshold) & (aid[:, None] < ids_c[None, :])
             ai, bj = np.nonzero(keep)
@@ -152,6 +166,88 @@ def near_dup_pairs_vectorized(
             )
 
     return df.select(id_col, vec_col).mapInPandas(
+        score, schema="id_a long, id_b long, cos double"
+    )
+
+
+def near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup, scale-safe: the corpus is hashed into
+    n_blocks blocks; every unordered block pair (i ≤ j) becomes one
+    grouped-apply task that matmuls block_i × block_jᵀ in numpy and keeps
+    pairs with id_a < id_b and rounded cos ≥ threshold. Identical output to
+    near_dup_pairs / near_dup_pairs_vectorized.
+
+    Scale shape: nothing is collected to the driver and nothing is broadcast
+    O(corpus); each row is shuffled ~n_blocks+1 times (once per partner
+    block) and task memory is 2·(n/n_blocks)·dim·8 bytes — pick
+    n_blocks ≈ n·dim·8 / (500 MB) so two blocks fit an executor core. The
+    O(n²) multiply is inherent to exact all-pairs; for approximate gating at
+    much larger n, bucket with lsh_buckets_np first and exact-score only
+    candidates (the ann_topk pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
+    # one row per (block-pair, side): side 0 carries block bi, side 1 block
+    # bj — a union instead of a cogroup of two self-join branches (same one
+    # shuffle, no ambiguous-self-join lineage)
+    sides = spark.createDataFrame(
+        [
+            (i * n_blocks + j, b, s)
+            for i in range(n_blocks)
+            for j in range(i, n_blocks)
+            for b, s in ((i, 0), (j, 1))
+        ],
+        "pid int, blk_m int, side int",
+    )
+    tagged = src.join(
+        F.broadcast(sides), F.col("blk") == F.col("blk_m")
+    ).select("pid", "side", "id", "v")
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["side"] == 0]
+        rpdf = pdf[pdf["side"] == 1]
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        la = np.vstack(lpdf["v"].to_numpy()).astype("float64")
+        ra = np.vstack(rpdf["v"].to_numpy()).astype("float64")
+        la /= np.linalg.norm(la, axis=1, keepdims=True)
+        ra /= np.linalg.norm(ra, axis=1, keepdims=True)
+        s = _round_half_up(la @ ra.T, round_dp)
+        lid = lpdf["id"].to_numpy()
+        rid = rpdf["id"].to_numpy()
+        (pid,) = key
+        diagonal = (pid // n_blocks) == (pid % n_blocks)
+        if diagonal:
+            # left == right: each unordered pair appears twice — keep the
+            # lid < rid orientation only
+            keep = (s >= threshold) & (lid[:, None] < rid[None, :])
+        else:
+            # disjoint blocks: each unordered pair appears exactly once,
+            # in arbitrary id order — keep all, orient below
+            keep = s >= threshold
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(lid[ai], rid[bj]),
+                "id_b": np.maximum(lid[ai], rid[bj]),
+                "cos": s[ai, bj],
+            }
+        )
+
+    return tagged.groupby("pid").applyInPandas(
         score, schema="id_a long, id_b long, cos double"
     )
 

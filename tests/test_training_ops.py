@@ -76,6 +76,43 @@ def test_ivf_centroids_deterministic(spark):
         assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
 
 
+def test_near_dup_blocked_matches_exact_and_never_collects(spark, monkeypatch):
+    """The blocked all-pairs path must equal the per-pair expression path
+    (including off-diagonal block pairs in either id order) and must never
+    pull the corpus to the driver (the scale-safety contract)."""
+    from pyspark.sql import DataFrame
+
+    from kettle_jena_plugins_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_blocked,
+    )
+
+    em = embeds(spark)
+    exact = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in near_dup_pairs(em, threshold=0.3).collect()
+    }
+
+    def no_collect(self, *a, **k):
+        raise AssertionError("blocked near-dup path collected to the driver")
+
+    monkeypatch.setattr(DataFrame, "toPandas", no_collect)
+    blocked_df = near_dup_pairs_blocked(em, threshold=0.3, n_blocks=4)
+    blocked = {
+        (r["id_a"], r["id_b"], r["cos"]) for r in blocked_df.collect()
+    }
+    assert blocked == exact
+
+
+def test_near_dup_vectorized_empty_corpus(spark):
+    from kettle_jena_plugins_spark.operators.similarity import (
+        near_dup_pairs_vectorized,
+    )
+
+    empty = embeds(spark).filter(F.col("vec_id") < 0)
+    assert near_dup_pairs_vectorized(empty).count() == 0
+
+
 def test_simhash_pairs_finds_near_dups(spark):
     from kettle_jena_plugins_spark.operators.dedup import simhash_pairs
 
