@@ -160,6 +160,47 @@ def q_construct_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lsn", "doc_canon")
 
 
+def q_construct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive blank-node construction (JenaModelStep.java:347-376,
+    recursive call :372): a t:meta substructure holding (role, tool) plus a
+    doubly-nested t:prov substructure holding (lsn, turn) — canonical form
+    flattens depth-first in sorted property order, null children drop
+    (ActionIfNull=IGNORE)."""
+    from kettle_jena_plugins_spark.operators.construct import (
+        PropertyMapping,
+        construct_doc,
+    )
+
+    ch = change_events(spark, sf_dir)
+    ns = {"t": "http://example.org/transcript#"}
+    out = construct_doc(
+        ch,
+        uri_prefix="ex:conv/",
+        uri_fields=["conv_id", "turn_idx"],
+        mappings=[
+            PropertyMapping("text", "t:text"),
+            PropertyMapping(
+                None,
+                "t:meta",
+                children=(
+                    PropertyMapping("role", "t:role"),
+                    PropertyMapping("tool", "t:tool"),
+                    PropertyMapping(
+                        None,
+                        "t:prov",
+                        children=(
+                            PropertyMapping("lsn", "t:lsn"),
+                            PropertyMapping("turn_idx", "t:turn"),
+                        ),
+                    ),
+                ),
+            ),
+        ],
+        namespaces=ns,
+    )
+    return out.select("lsn", "doc_canon")
+
+
 def q_serialize_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serializer sink's N-TRIPLE line generation (JenaSerializerStep
     serializeModel → Rdf11 N-TRIPLE): one `<subj> <prop> "obj" .` line per
@@ -399,6 +440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_merge_policies": q_group_merge_policies,
     "combine_coalesce": q_combine_coalesce,
     "construct_doc": q_construct_doc,
+    "construct_nested": q_construct_nested,
     "serialize_ntriples": q_serialize_ntriples,
     "typed_literals": q_typed_literals,
     "value_substitution": q_value_substitution,
@@ -807,6 +849,23 @@ SELECT lsn,
            CASE WHEN role IS NOT NULL THEN '{_NS_T}role=' || role END,
            CASE WHEN text IS NOT NULL THEN '{_NS_T}text=' || text END,
            CASE WHEN tool IS NOT NULL THEN '{_NS_T}tool=' || tool END
+       ) AS doc_canon
+FROM changes
+""",
+    "construct_nested": f"""
+WITH {CHANGES_ORACLE_CTE}
+SELECT lsn,
+       '<ex:conv/' || conv_id || '/' || CAST(turn_idx AS VARCHAR) || '> ' ||
+       concat_ws('; ',
+           '{_NS_T}meta=[' || concat_ws('; ',
+               '{_NS_T}prov=[' || concat_ws('; ',
+                   '{_NS_T}lsn=' || CAST(lsn AS VARCHAR),
+                   '{_NS_T}turn=' || CAST(turn_idx AS VARCHAR)
+               ) || ']',
+               CASE WHEN role IS NOT NULL THEN '{_NS_T}role=' || role END,
+               CASE WHEN tool IS NOT NULL THEN '{_NS_T}tool=' || tool END
+           ) || ']',
+           CASE WHEN text IS NOT NULL THEN '{_NS_T}text=' || text END
        ) AS doc_canon
 FROM changes
 """,

@@ -4,22 +4,35 @@ Reference: JenaModelStep (model/JenaModelStep.java:58-557) constructs one RDF
 graph per row: subject URI from a field (:211-229), one statement per
 DbToJenaMapping (fieldName, property name, type, language, skip,
 actionIfNull — JenaModelStepMeta.java:110-135), recursive blank-node
-substructures (:347-376), and appends the graph as a new column, optionally
-dropping consumed source columns (prepareOutputRow :187-208).
+substructures (a mapping whose field is the blank-node marker points at a
+BlankNodeMapping carrying its own DbToJenaMappings, applied recursively to a
+fresh blank node — JenaModelStep.java:347-376, recursive call :372; mapping
+metadata JenaModelStepMeta.java:241-261), and appends the graph as a new
+column, optionally dropping consumed source columns (prepareOutputRow
+:187-208).
 
 Spark-first: the per-row graph becomes (a) a nested struct column (the typed
-document) and (b) a deterministic canonical serialization string — sorted
-property=value pairs — which is this engine's analogue of graph isomorphism
-equality (EndToEndIT.java:74 isIsomorphicWith compares graphs independent of
-statement order; a canonically-ordered serialization gives the same
-order-independence). All built-ins: struct/concat/concat_ws (nulls skip like
-ActionIfNull=IGNORE dropping the statement).
+document; blank-node substructures → nested StructType) and (b) a
+deterministic canonical serialization string — properties in sorted order,
+substructures bracketed and flattened depth-first — which is this engine's
+analogue of graph isomorphism equality (EndToEndIT.java:74 isIsomorphicWith
+compares graphs independent of statement order; a canonically-ordered
+serialization gives the same order-independence). All built-ins:
+struct/concat/concat_ws (nulls skip like ActionIfNull=IGNORE dropping the
+statement).
+
+ActionIfNull (JenaModelStep.java:316-331):
+  IGNORE — drop the statement (null vanishes from canon and struct);
+  WARN   — drop the statement AND count it in the `construct_null_warnings`
+           observation (the engine's metrics analogue of logBasic :325);
+  ERROR  — fail the job at execution time (closeAndThrow :329 per row →
+           F.raise_error inside the expression).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -30,12 +43,91 @@ from .validate import Policy
 
 @dataclass(frozen=True)
 class PropertyMapping:
-    """Analogue of DbToJenaMapping (JenaModelStepMeta.java:110-135)."""
+    """Analogue of DbToJenaMapping (JenaModelStepMeta.java:110-135).
 
-    field: str  # source column
+    A mapping with `children` is a blank-node substructure (the reference's
+    BLANK_NODE_FIELD_NAME field + BlankNodeMapping indirection,
+    JenaModelStepMeta.java:241-261): `field` is unused, the children are
+    applied recursively and attached under `property`. Children may
+    themselves carry children (arbitrary nesting depth, as in the
+    reference's recursive addResourceProperties)."""
+
+    field: str | None  # source column; None for blank-node substructures
     property: str  # property name, may be a QName
     skip: bool = False  # JenaModelStep.java:294-296
-    if_null: Policy = Policy.IGNORE  # drop the statement when null
+    if_null: Policy = Policy.IGNORE  # drop / warn+drop / raise on null
+    children: tuple["PropertyMapping", ...] = dc_field(default=())
+
+
+def _build(
+    mappings: Sequence[PropertyMapping],
+    namespaces: dict[str, str] | None,
+    subject: Column,
+) -> tuple[list[Column], list[Column], list[Column]]:
+    """Recursive core: returns (statement columns for the canonical string,
+    struct field columns, null-warn indicator columns) for one mapping level,
+    in sorted expanded-property order (canonical = order-independent)."""
+    stmt_cols: list[Column] = []
+    struct_fields: list[Column] = []
+    warn_cols: list[Column] = []
+    for mp in sorted(mappings, key=lambda m: expand_qname(m.property, namespaces)):
+        if mp.skip:
+            continue
+        prop = expand_qname(mp.property, namespaces)
+        alias = mp.property.replace(":", "_")
+        if mp.children:
+            # blank-node substructure: always attached (the reference skips
+            # the null check for blank nodes, JenaModelStep.java:316), its
+            # children recursively resolved against the same row
+            c_stmts, c_fields, c_warns = _build(mp.children, namespaces, subject)
+            canon_child = F.concat(
+                F.lit(prop + "=["),
+                F.concat_ws("; ", *c_stmts),
+                F.lit("]"),
+            )
+            stmt_cols.append(canon_child)
+            struct_fields.append(F.struct(*c_fields).alias(alias))
+            warn_cols.extend(c_warns)
+            continue
+        val = F.col(mp.field).cast("string")
+        if mp.if_null is Policy.ERROR:
+            # per-row closeAndThrow (JenaModelStep.java:329) → expression-
+            # level failure at execution time
+            val = F.when(
+                val.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"Could not write property: {prop} for resource: "
+                        ),
+                        subject,
+                        F.lit(f", row field: {mp.field} is null!"),
+                    )
+                ),
+            ).otherwise(val)
+        elif mp.if_null is Policy.WARN:
+            warn_cols.append(
+                F.when(val.isNull(), F.lit(1)).otherwise(F.lit(0))
+            )
+        # property=value statement; null value → statement dropped
+        # (IGNORE and WARN both drop; WARN additionally counts)
+        stmt_cols.append(
+            F.when(val.isNotNull(), F.concat(F.lit(prop + "="), val))
+        )
+        struct_fields.append(F.col(mp.field).alias(alias))
+    return stmt_cols, struct_fields, warn_cols
+
+
+def _consumed_fields(mappings: Sequence[PropertyMapping]) -> set[str]:
+    out: set[str] = set()
+    for mp in mappings:
+        if mp.skip:
+            continue
+        if mp.children:
+            out |= _consumed_fields(mp.children)
+        elif mp.field is not None:
+            out.add(mp.field)
+    return out
 
 
 def construct_doc(
@@ -46,32 +138,38 @@ def construct_doc(
     target_col: str = "doc",
     namespaces: dict[str, str] | None = None,
     remove_mapped: bool = False,
+    observe_warnings: bool = False,
 ) -> DataFrame:
-    """Adds `target_col` struct(subject, statements) and
-    `{target_col}_canon` — the canonical string serialization."""
+    """Adds `target_col` struct(subject, statements — nested structs for
+    blank-node substructures) and `{target_col}_canon` — the canonical
+    string serialization (substructures flattened depth-first in sorted
+    property order).
+
+    observe_warnings=True attaches a `construct_null_warnings` observation
+    counting statements dropped under ActionIfNull=WARN — readable from the
+    batch's QueryExecution listener or `df.observe` semantics."""
     subject = F.concat(
         F.lit(uri_prefix),
         F.concat_ws("/", *[F.col(f).cast("string") for f in uri_fields]),
     )
-    stmt_cols: list[Column] = []
-    struct_fields: list[Column] = []
-    for mp in sorted(mappings, key=lambda m: expand_qname(m.property, namespaces)):
-        if mp.skip:
-            continue
-        prop = expand_qname(mp.property, namespaces)
-        val = F.col(mp.field).cast("string")
-        # property=value statement; null value → statement dropped
-        # (ActionIfNull.IGNORE, JenaModelStep.java:316-331)
-        stmt_cols.append(
-            F.when(val.isNotNull(), F.concat(F.lit(prop + "="), val))
-        )
-        struct_fields.append(F.col(mp.field).alias(mp.property.replace(":", "_")))
+    stmt_cols, struct_fields, warn_cols = _build(mappings, namespaces, subject)
     doc = F.struct(subject.alias("subject"), *struct_fields)
     # canonical form: subject + statements in sorted property order
     canon = F.concat(
         F.lit("<"), subject, F.lit("> "), F.concat_ws("; ", *stmt_cols)
     )
     out = df.withColumn(target_col, doc).withColumn(f"{target_col}_canon", canon)
+    if observe_warnings and warn_cols:
+        total = warn_cols[0]
+        for w in warn_cols[1:]:
+            total = total + w
+        agg = F.sum(total).alias("n_warn")
+        from pyspark.sql import Observation
+
+        if isinstance(observe_warnings, Observation):
+            out = out.observe(observe_warnings, agg)
+        else:
+            out = out.observe("construct_null_warnings", agg)
     if remove_mapped:
-        out = out.drop(*{m.field for m in mappings if not m.skip})
+        out = out.drop(*_consumed_fields(mappings))
     return out
