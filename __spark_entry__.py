@@ -201,13 +201,8 @@ def q_construct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lsn", "doc_canon")
 
 
-def q_serialize_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Serializer sink's N-TRIPLE line generation (JenaSerializerStep
-    serializeModel → Rdf11 N-TRIPLE): one `<subj> <prop> "obj" .` line per
-    non-null statement, quote-escaped — pure narrow projection + explode."""
-    from kettle_jena_plugins_spark.operators.serialize import ntriples_lines
-
-    ch = change_events(spark, sf_dir).withColumn(
+def _subjected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return change_events(spark, sf_dir).withColumn(
         "subject",
         F.concat(
             F.lit("ex:conv/"), F.col("conv_id"), F.lit("/"),
@@ -215,14 +210,49 @@ def q_serialize_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lsn").cast("string"),
         ),
     )
+
+
+def q_serialize_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serializer sink's N-TRIPLE line generation (JenaSerializerStep
+    serializeModel → Rdf11 N-TRIPLE): one `<subj> <prop> obj .` line per
+    non-null statement — plain, language-tagged AND typed object terms with
+    full ECHAR escaping — pure narrow projection + explode."""
+    from kettle_jena_plugins_spark.operators.serialize import (
+        StatementSpec,
+        ntriples_lines,
+    )
+
     return ntriples_lines(
-        ch,
+        _subjected(spark, sf_dir),
         subject_col="subject",
         statements={
-            "http://example.org/transcript#role": "role",
-            "http://example.org/transcript#text": "text",
-            "http://example.org/transcript#tool": "tool",
+            f"{_NS_T}role": StatementSpec("role", lang="en"),
+            f"{_NS_T}text": "text",
+            f"{_NS_T}tool": "tool",
+            f"{_NS_T}turn": StatementSpec("turn_idx", datatype="integer"),
+            f"{_NS_T}ts": StatementSpec("ts", datatype="dateTime"),
         },
+    )
+
+
+def q_serialize_turtle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TURTLE serialization (the reference's default format, Rdf11.java:86):
+    @prefix header + qname-compacted predicates, same object-term machinery
+    as N-TRIPLE."""
+    from kettle_jena_plugins_spark.operators.serialize import (
+        StatementSpec,
+        turtle_lines,
+    )
+
+    return turtle_lines(
+        _subjected(spark, sf_dir),
+        subject_col="subject",
+        statements={
+            f"{_NS_T}role": StatementSpec("role", lang="en"),
+            f"{_NS_T}text": "text",
+            f"{_NS_T}turn": StatementSpec("turn_idx", datatype="integer"),
+        },
+        namespaces={"t": _NS_T},
     )
 
 
@@ -442,6 +472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "construct_doc": q_construct_doc,
     "construct_nested": q_construct_nested,
     "serialize_ntriples": q_serialize_ntriples,
+    "serialize_turtle": q_serialize_turtle,
     "typed_literals": q_typed_literals,
     "value_substitution": q_value_substitution,
     "cdc_lww_state": q_cdc_lww_state,
@@ -472,6 +503,16 @@ ranked AS (
 """
 
 _NS_T = "http://example.org/transcript#"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _ESC(x: str) -> str:
+    """DuckDB mirror of serialize.escape_literal: backslash first, then
+    quote, newline, CR, tab."""
+    return (
+        f"replace(replace(replace(replace(replace({x}, '\\', '\\\\'), "
+        f"'\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+    )
 
 # shared oracle CTE fragments (DuckDB dialect) --------------------------------
 
@@ -874,17 +915,45 @@ WITH {CHANGES_ORACLE_CTE},
 subj AS (
     SELECT 'ex:conv/' || conv_id || '/' || CAST(turn_idx AS VARCHAR)
                || '#' || CAST(lsn AS VARCHAR) AS s,
-           role, text, tool
+           role, text, tool, turn_idx, ts
     FROM changes
 )
-SELECT '<' || s || '> <{_NS_T}role> "' || replace(role, '"', '\\"') || '" .' AS value
+SELECT '<' || s || '> <{_NS_T}role> "' || {_ESC("role")} || '"@en .' AS value
 FROM subj WHERE role IS NOT NULL
 UNION ALL
-SELECT '<' || s || '> <{_NS_T}text> "' || replace(text, '"', '\\"') || '" .'
+SELECT '<' || s || '> <{_NS_T}text> "' || {_ESC("text")} || '" .'
 FROM subj WHERE text IS NOT NULL
 UNION ALL
-SELECT '<' || s || '> <{_NS_T}tool> "' || replace(tool, '"', '\\"') || '" .'
+SELECT '<' || s || '> <{_NS_T}tool> "' || {_ESC("tool")} || '" .'
 FROM subj WHERE tool IS NOT NULL
+UNION ALL
+SELECT '<' || s || '> <{_NS_T}turn> "' || CAST(turn_idx AS VARCHAR)
+       || '"^^<{_XSD}integer> .'
+FROM subj WHERE turn_idx IS NOT NULL
+UNION ALL
+SELECT '<' || s || '> <{_NS_T}ts> "' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+       || '"^^<{_XSD}dateTime> .'
+FROM subj WHERE ts IS NOT NULL
+""",
+    "serialize_turtle": f"""
+WITH {CHANGES_ORACLE_CTE},
+subj AS (
+    SELECT 'ex:conv/' || conv_id || '/' || CAST(turn_idx AS VARCHAR)
+               || '#' || CAST(lsn AS VARCHAR) AS s,
+           role, text, turn_idx
+    FROM changes
+)
+SELECT '@prefix t: <{_NS_T}> .' AS value
+UNION ALL
+SELECT '<' || s || '> t:role "' || {_ESC("role")} || '"@en .'
+FROM subj WHERE role IS NOT NULL
+UNION ALL
+SELECT '<' || s || '> t:text "' || {_ESC("text")} || '" .'
+FROM subj WHERE text IS NOT NULL
+UNION ALL
+SELECT '<' || s || '> t:turn "' || CAST(turn_idx AS VARCHAR)
+       || '"^^<{_XSD}integer> .'
+FROM subj WHERE turn_idx IS NOT NULL
 """,
     "typed_literals": f"""
 WITH {CHANGES_ORACLE_CTE}

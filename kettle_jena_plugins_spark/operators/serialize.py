@@ -6,46 +6,158 @@ number (:257-264), parent dirs created (:309-313), wall time logged (:96-102).
 
 Engine mapping: the per-row canonical document lines (operators/construct.py)
 are written ONCE per bounded run — formats map to line-oriented layouts:
-  ntriples — one `<subj> <pred> "obj" .` line per statement (the N-TRIPLE path)
+  ntriples — one `<subj> <pred> obj .` line per statement (N-TRIPLE,
+             Rdf11.java:81); objects may be plain, typed (`"lex"^^<dt>`) or
+             language-tagged (`"lex"@lang`) via StatementSpec, with full
+             ECHAR escaping (backslash, quote, newline, CR, tab)
+  turtle   — `@prefix` header + qname-compacted predicates (TURTLE,
+             Rdf11.java:80 — the reference's default format)
   canon    — one canonical doc line per row (isomorphism-stable)
   jsonl    — one JSON object per row
   parquet  — columnar (the lake-native form)
 Partition decoration → Spark's natural part-file numbering; create-parents →
-the filesystem writer's default; wall time → returned.
+the filesystem writer's default; wall time → returned. N3 is TURTLE-compatible
+for the subset this engine emits (Jena treats N3 as TURTLE on write).
 """
 
 from __future__ import annotations
 
 import time
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-FORMATS = ("ntriples", "canon", "jsonl", "parquet")
+from ..functions.qnames import DEFAULT_NAMESPACES
+from ..functions.typed_literals import XSD, to_typed_literal
+
+FORMATS = ("ntriples", "turtle", "canon", "jsonl", "parquet")
+
+
+@dataclass(frozen=True)
+class StatementSpec:
+    """Object-term spec for one predicate: a source column plus an optional
+    XSD datatype (typed literal) or language tag (rdf:langString) — the
+    serializer-side analogue of DbToJenaMapping's rdfType/language
+    (JenaModelStepMeta.java:110-135). datatype and lang are exclusive."""
+
+    column: str
+    datatype: str | None = None  # XSD local name (typed_literals.CONVERTERS)
+    lang: str | None = None
+
+    def __post_init__(self):
+        if self.datatype and self.lang:
+            raise ValueError("StatementSpec: datatype and lang are exclusive")
+
+
+def escape_literal(col: Column) -> Column:
+    """N-Triples/TURTLE ECHAR escaping: backslash first, then quote,
+    newline, carriage return, tab (the reference delegates to Jena's
+    writer, which escapes the same set)."""
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    return F.replace(c, F.lit("\t"), F.lit("\\t"))
+
+
+def object_term(spec: StatementSpec | str) -> Column:
+    """Render one object term; null source → null (statement dropped)."""
+    if isinstance(spec, str):
+        spec = StatementSpec(spec)
+    src = F.col(spec.column)
+    if spec.lang:
+        return F.when(
+            src.isNotNull(),
+            F.concat(
+                F.lit('"'),
+                escape_literal(src.cast("string")),
+                F.lit(f'"@{spec.lang}'),
+            ),
+        )
+    if spec.datatype is None or spec.datatype == "string":
+        suffix = f'"^^<{XSD}string>' if spec.datatype == "string" else '"'
+        return F.when(
+            src.isNotNull(),
+            F.concat(
+                F.lit('"'), escape_literal(src.cast("string")), F.lit(suffix)
+            ),
+        )
+    # non-string XSD types: canonical lexical forms (typed_literals) contain
+    # no escapable characters by construction
+    return to_typed_literal(src, spec.datatype)
 
 
 def ntriples_lines(
     docs: DataFrame,
     subject_col: str = "subject",
-    statements: dict[str, str] | None = None,
+    statements: dict[str, StatementSpec | str] | None = None,
 ) -> DataFrame:
-    """One `<subj> <prop> "obj" .` line per non-null statement value — the
+    """One `<subj> <prop> obj .` line per non-null statement value — the
     N-TRIPLE serialization (Rdf11.java:81) as a pure column expression, so
     the write stays a narrow map over the scan (no shuffle, no UDF)."""
     stmts = statements or {}
-    lines = [
-        F.when(
-            F.col(col).isNotNull(),
-            F.concat(
-                F.lit("<"), F.col(subject_col), F.lit(f"> <{prop}> "),
-                F.lit('"'),
-                F.regexp_replace(F.col(col).cast("string"), r'"', r'\\"'),
-                F.lit('" .'),
-            ),
+    lines = []
+    for prop, spec in stmts.items():
+        term = object_term(spec)
+        lines.append(
+            F.when(
+                term.isNotNull(),
+                F.concat(
+                    F.lit("<"), F.col(subject_col), F.lit(f"> <{prop}> "),
+                    term, F.lit(" ."),
+                ),
+            )
         )
-        for prop, col in stmts.items()
-    ]
     return docs.select(F.explode(F.array_compact(F.array(*lines))).alias("value"))
+
+
+def _compact(prop: str, ns: dict[str, str]) -> str:
+    """URI → prefix:local when a registered namespace prefixes it (longest
+    namespace wins); else the <uri> form."""
+    best = None
+    for p, u in ns.items():
+        if prop.startswith(u) and (best is None or len(u) > len(ns[best])):
+            local = prop[len(u):]
+            if local and all(c not in local for c in "/#:"):
+                best = p
+    if best is None:
+        return f"<{prop}>"
+    return f"{best}:{prop[len(ns[best]):]}"
+
+
+def turtle_lines(
+    docs: DataFrame,
+    subject_col: str = "subject",
+    statements: dict[str, StatementSpec | str] | None = None,
+    namespaces: dict[str, str] | None = None,
+) -> DataFrame:
+    """TURTLE serialization (Rdf11.java:80 — the reference's DEFAULT format,
+    :86): `@prefix` header lines for the registered namespaces, then one
+    qname-compacted triple line per non-null statement. Predicate compaction
+    happens driver-side (predicates are plan-time constants), so the body
+    stays a narrow map; the header is a tiny literal union."""
+    ns = dict(sorted((namespaces if namespaces is not None else DEFAULT_NAMESPACES).items()))
+    stmts = statements or {}
+    lines = []
+    for prop, spec in stmts.items():
+        term = object_term(spec)
+        lines.append(
+            F.when(
+                term.isNotNull(),
+                F.concat(
+                    F.lit("<"), F.col(subject_col),
+                    F.lit(f"> {_compact(prop, ns)} "), term, F.lit(" ."),
+                ),
+            )
+        )
+    body = docs.select(
+        F.explode(F.array_compact(F.array(*lines))).alias("value")
+    )
+    header = docs.sparkSession.createDataFrame(
+        [(f"@prefix {p}: <{u}> .",) for p, u in ns.items()], "value string"
+    )
+    return header.unionByName(body)
 
 
 def serialize_docs(
@@ -53,14 +165,15 @@ def serialize_docs(
     path: str,
     fmt: str = "ntriples",
     subject_col: str = "subject",
-    statements: dict[str, str] | None = None,
+    statements: dict[str, StatementSpec | str] | None = None,
+    namespaces: dict[str, str] | None = None,
     single_file: bool = False,
 ) -> float:
     """Write the document stream once; returns wall seconds (the reference
     logs serializer wall time, JenaSerializerStep.java:96-102).
 
-    statements: {property_uri: value_column} — exploded to one triple line
-    per non-null value for the ntriples format.
+    statements: {property_uri: column | StatementSpec} — exploded to one
+    triple line per non-null value for the ntriples/turtle formats.
     """
     if fmt not in FORMATS:
         raise ValueError(f"format must be one of {FORMATS}")
@@ -76,6 +189,11 @@ def serialize_docs(
         out.select(
             F.col(subject_col).cast("string").alias("value")
         ).write.mode("overwrite").text(path)
+    elif fmt == "turtle":
+        df = turtle_lines(out, subject_col, statements, namespaces)
+        if single_file:
+            df = df.coalesce(1)
+        df.write.mode("overwrite").text(path)
     else:  # ntriples
         ntriples_lines(out, subject_col, statements).write.mode(
             "overwrite"
