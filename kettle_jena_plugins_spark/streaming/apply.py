@@ -49,6 +49,12 @@ class CDCConfig:
     # idempotent LWW merge already converges under duplicates.
     stream_dedup: bool = False
     stream_dedup_watermark: str = "10 minutes"
+    # ActionIfNull=WARN accounting for payload columns: nulls in these
+    # columns are counted per batch (one tiny agg pass) and surfaced in the
+    # metrics jsonl + MergeResult.extra — the engine's analogue of the
+    # reference's per-row WARN log (ActionIfNull.java:25-28). Default off:
+    # costs one extra scan of the batch.
+    warn_null_cols: tuple[str, ...] = ()
     # input-side parallelism floor. WAL segments arrive as few large files
     # (binlog shipping), so the scan often yields far fewer partitions than
     # the cluster has cores — the narrow phase (validate → pandas-UDF
@@ -127,6 +133,19 @@ def apply_batch(
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     ok = ok.select(*cols)
 
+    # 3.4 WARN-null accounting (see CDCConfig.warn_null_cols)
+    warn_nulls: dict[str, int] = {}
+    if cfg.warn_null_cols:
+        aggs = [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c)
+            for c in cfg.warn_null_cols
+            if c in ok.columns
+        ]
+        if aggs:
+            warn_nulls = {
+                k: int(v or 0) for k, v in ok.agg(*aggs).first().asDict().items()
+            }
+
     # 3.5 late-event lineage: raw events at-or-below their bucket's committed
     # LSN high-watermark (duplicates/out-of-order replays), counted BEFORE
     # reduction so redelivered rows that lose LWW are still accounted.
@@ -182,6 +201,8 @@ def apply_batch(
     res = target.merge_batch(reduced, batch_id, stream_id=stream_id, **sink_kwargs)
     res.extra["dead_letter_rows"] = n_dead
     res.extra["late_keys"] = res.late_events
+    if warn_nulls:
+        res.extra["warn_nulls"] = warn_nulls
     if res.applied:
         res.late_events = max(int(n_late_raw), res.late_events)
 
@@ -198,6 +219,7 @@ def apply_batch(
                 "dead_letter_rows": n_dead,
                 "buckets_rewritten": res.buckets_rewritten,
                 "snapshot_version": res.snapshot_version,
+                **({"warn_nulls": warn_nulls} if warn_nulls else {}),
             },
         )
     return res
