@@ -262,10 +262,16 @@ def q_typed_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     forms for string/integer/dateTime/date/language-tagged values, with
     lexical gating (malformed → null) — all built-in expressions."""
     from kettle_jena_plugins_spark.functions.typed_literals import (
+        xsd_byte,
         xsd_date,
         xsd_datetime,
+        xsd_gyear,
         xsd_integer,
+        xsd_language,
+        xsd_non_negative_integer,
         xsd_string,
+        xsd_time,
+        xsd_token,
     )
 
     ch = change_events(spark, sf_dir)
@@ -276,6 +282,13 @@ def q_typed_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
         xsd_integer(F.col("turn_idx")).alias("turn_lit"),
         xsd_datetime(F.col("ts")).alias("ts_lit"),
         xsd_date(F.col("ts")).alias("date_lit"),
+        xsd_time(F.col("ts")).alias("time_lit"),
+        xsd_gyear(F.col("ts")).alias("gyear_lit"),
+        # lexical gate demo: roles longer than 8 letters fail xsd:language
+        xsd_language(F.col("role")).alias("lang_lit"),
+        xsd_byte(F.col("turn_idx")).alias("byte_lit"),
+        xsd_token(F.col("text")).alias("token_lit"),
+        xsd_non_negative_integer(F.col("lsn")).alias("nneg_lit"),
     )
 
 
@@ -967,7 +980,20 @@ SELECT lsn,
        '"' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
            || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>' AS ts_lit,
        '"' || strftime(ts, '%Y-%m-%d')
-           || '"^^<http://www.w3.org/2001/XMLSchema#date>' AS date_lit
+           || '"^^<http://www.w3.org/2001/XMLSchema#date>' AS date_lit,
+       '"' || strftime(ts, '%H:%M:%S') || '"^^<{_XSD}time>' AS time_lit,
+       '"' || strftime(ts, '%Y') || '"^^<{_XSD}gYear>' AS gyear_lit,
+       CASE WHEN regexp_matches(role, '^[a-zA-Z]{{1,8}}(-[a-zA-Z0-9]{{1,8}})*$')
+            THEN '"' || role || '"^^<{_XSD}language>' END AS lang_lit,
+       CASE WHEN turn_idx BETWEEN -128 AND 127
+            THEN '"' || CAST(turn_idx AS VARCHAR) || '"^^<{_XSD}byte>' END
+           AS byte_lit,
+       CASE WHEN text IS NOT NULL
+            THEN '"' || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                 || '"^^<{_XSD}token>' END AS token_lit,
+       CASE WHEN lsn >= 0
+            THEN '"' || CAST(lsn AS VARCHAR)
+                 || '"^^<{_XSD}nonNegativeInteger>' END AS nneg_lit
 FROM changes
 """,
     "value_substitution": f"""
