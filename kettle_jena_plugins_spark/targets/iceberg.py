@@ -1,25 +1,34 @@
 """IcebergTarget — the production MERGE INTO path for real clusters.
 
 Same interface as ParquetLakeTarget; used when the Iceberg runtime jar +
-catalog extensions are configured (session.iceberg_confs). Not exercisable in
-this sandbox (no Iceberg jar ships in the container) — guarded tests skip it —
-but the SQL it emits is the contract SURVEY.md §2.1 #4 documents.
+catalog extensions are configured (session.iceberg_confs). The sandbox ships
+no Iceberg jar, so the live path is covered by a skip-guarded integration
+test; the SQL the target emits is built by pure functions below and
+plan-level tests pin the exact DDL/MERGE text and the commit sequence
+(tests/test_iceberg_plan.py).
 
 Idempotence: batch-id + per-bucket LSN high-watermarks are stored in the
 table's snapshot summary via `ALTER TABLE ... SET TBLPROPERTIES` in the same
 driver-side commit sequence (`cdc.batch-id`, `cdc.watermark.lsn.<bucket>`,
 FIXTURES.md §1).
+
+Deletes default to soft (`_deleted` flag — consistent with the lake target's
+merge-on-read tombstones); `hard_delete=True` emits a
+`WHEN MATCHED AND s.op = 'D' THEN DELETE` branch instead and suppresses
+inserts of already-deleted keys.
 """
 
 from __future__ import annotations
 
 import json
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..model import MERGE_KEYS, TRANSCRIPTS_SCHEMA
+from ..plans.evolution import IncompatibleSchemaChange, _wider
 
 
 def iceberg_available(spark: SparkSession, catalog: str = "lake") -> bool:
@@ -30,33 +39,112 @@ def iceberg_available(spark: SparkSession, catalog: str = "lake") -> bool:
         return False
 
 
+# --------------------------------------------------------------------------
+# pure SQL builders (plan-level-testable without an Iceberg runtime)
+# --------------------------------------------------------------------------
+
+def create_table_sql(
+    table: str, schema: T.StructType, n_buckets: int
+) -> str:
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} ({cols}, _lsn bigint, "
+        f"_deleted boolean) USING iceberg "
+        f"PARTITIONED BY (bucket({n_buckets}, conv_id)) "
+        f"TBLPROPERTIES ('write.distribution-mode'='hash', "
+        f"'write.merge.mode'='merge-on-read', 'cdc.batch-id'='-1')"
+    )
+
+
+def add_column_sql(table: str, name: str, dtype: T.DataType) -> str:
+    return f"ALTER TABLE {table} ADD COLUMN {name} {dtype.simpleString()}"
+
+
+def alter_column_type_sql(table: str, name: str, dtype: T.DataType) -> str:
+    return f"ALTER TABLE {table} ALTER COLUMN {name} TYPE {dtype.simpleString()}"
+
+
+def set_tblproperties_sql(table: str, props: dict[str, str]) -> str:
+    kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    return f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})"
+
+
+def merge_into_sql(
+    table: str,
+    payload: Sequence[str],
+    merge_keys: Sequence[str] = MERGE_KEYS,
+    source_view: str = "_cdc_batch",
+    hard_delete: bool = False,
+) -> str:
+    """Key-partitioned MERGE INTO with the LWW guard
+    `struct(s.ts, s.lsn) > struct(t.ts, t._lsn)` — equal-or-older replayed
+    rows are no-ops, preserving convergence under duplicate delivery."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in merge_keys)
+    set_cols = ", ".join(
+        [f"t.{c} = s.{c}" for c in payload]
+        + ["t.ts = s.ts", "t._lsn = s.lsn", "t._deleted = (s.op = 'D')"]
+    )
+    ins_cols = ", ".join([*merge_keys, *payload, "ts", "_lsn", "_deleted"])
+    ins_vals = ", ".join(
+        [f"s.{k}" for k in merge_keys]
+        + [f"s.{c}" for c in payload]
+        + ["s.ts", "s.lsn", "(s.op = 'D')"]
+    )
+    lww = "struct(s.ts, s.lsn) > struct(t.ts, t._lsn)"
+    if hard_delete:
+        return (
+            f"MERGE INTO {table} t USING {source_view} s ON {on} "
+            f"WHEN MATCHED AND s.op = 'D' AND {lww} THEN DELETE "
+            f"WHEN MATCHED AND {lww} THEN UPDATE SET {set_cols} "
+            f"WHEN NOT MATCHED AND s.op <> 'D' "
+            f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+    return (
+        f"MERGE INTO {table} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED AND {lww} THEN UPDATE SET {set_cols} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def evolution_ddl(
+    table: str, current: T.StructType, new_schema: T.StructType
+) -> list[str]:
+    """DDL statements to absorb new_schema, with the widening-legality check
+    done DRIVER-SIDE (plans/evolution._wider): a narrowing is a no-op (the
+    existing column is already wider), a type flip raises
+    IncompatibleSchemaChange before any SQL reaches the catalog."""
+    cur = {f.name: f for f in current.fields}
+    ddl: list[str] = []
+    for f in new_schema.fields:
+        if f.name not in cur:
+            ddl.append(add_column_sql(table, f.name, f.dataType))
+        elif cur[f.name].dataType != f.dataType:
+            wide = _wider(cur[f.name].dataType, f.dataType)  # may raise
+            if wide != cur[f.name].dataType:
+                ddl.append(alter_column_type_sql(table, f.name, wide))
+    return ddl
+
+
 class IcebergTarget:
     def __init__(
         self,
         spark: SparkSession,
         table: str = "lake.cdc.transcripts",
         n_buckets: int = 16,
+        hard_delete: bool = False,
     ):
         self.spark = spark
         self.table = table
         self.n_buckets = n_buckets
+        self.hard_delete = hard_delete
 
     def create(self, schema: T.StructType | None = None) -> None:
         schema = schema or TRANSCRIPTS_SCHEMA
-        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
         ns = self.table.rsplit(".", 1)[0]
         self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {ns}")
-        self.spark.sql(
-            f"""CREATE TABLE IF NOT EXISTS {self.table} ({cols}, _lsn bigint,
-            _deleted boolean)
-            USING iceberg
-            PARTITIONED BY (bucket({self.n_buckets}, conv_id))
-            TBLPROPERTIES (
-              'write.distribution-mode'='hash',
-              'write.merge.mode'='merge-on-read',
-              'cdc.batch-id'='-1'
-            )"""
-        )
+        self.spark.sql(create_table_sql(self.table, schema, self.n_buckets))
 
     def last_committed_batch(self) -> int:
         row = self.spark.sql(f"SHOW TBLPROPERTIES {self.table} ('cdc.batch-id')")
@@ -70,22 +158,10 @@ class IcebergTarget:
         )
 
     def evolve_schema(self, new_schema: T.StructType) -> bool:
-        cur = {f.name: f for f in self.schema().fields}
-        changed = False
-        for f in new_schema.fields:
-            if f.name not in cur:
-                self.spark.sql(
-                    f"ALTER TABLE {self.table} ADD COLUMN "
-                    f"{f.name} {f.dataType.simpleString()}"
-                )
-                changed = True
-            elif cur[f.name].dataType != f.dataType:
-                self.spark.sql(
-                    f"ALTER TABLE {self.table} ALTER COLUMN "
-                    f"{f.name} TYPE {f.dataType.simpleString()}"
-                )
-                changed = True
-        return changed
+        ddl = evolution_ddl(self.table, self.schema(), new_schema)
+        for stmt in ddl:
+            self.spark.sql(stmt)
+        return bool(ddl)
 
     def read(self) -> DataFrame:
         return (
@@ -97,7 +173,9 @@ class IcebergTarget:
     def merge_batch(self, reduced: DataFrame, batch_id: int, stream_id: str = "default"):
         """One LWW-reduced micro-batch → MERGE INTO keyed on (conv_id,
         turn_idx), LWW-guarded on (ts, lsn) so late replays are no-ops.
-        """
+
+        Commit sequence (plan-level-pinned): idempotence gate (stream lineage
+        + batch-id) → MERGE → watermark + batch-id properties commit."""
         from .parquet_lake import MergeResult  # shared result type
 
         row = self.spark.sql(f"SHOW TBLPROPERTIES {self.table} ('cdc.stream-id')")
@@ -110,24 +188,10 @@ class IcebergTarget:
             c for c in reduced.columns if c not in (*MERGE_KEYS, "op", "lsn", "ts")
         ]
         reduced.createOrReplaceTempView("_cdc_batch")
-        set_cols = ", ".join(
-            [f"t.{c} = s.{c}" for c in payload]
-            + ["t.ts = s.ts", "t._lsn = s.lsn", "t._deleted = (s.op = 'D')"]
-        )
-        ins_cols = ", ".join([*MERGE_KEYS, *payload, "ts", "_lsn", "_deleted"])
-        ins_vals = ", ".join(
-            [f"s.{k}" for k in MERGE_KEYS]
-            + [f"s.{c}" for c in payload]
-            + ["s.ts", "s.lsn", "(s.op = 'D')"]
-        )
-        on = " AND ".join(f"t.{k} = s.{k}" for k in MERGE_KEYS)
         self.spark.sql(
-            f"""MERGE INTO {self.table} t
-            USING _cdc_batch s
-            ON {on}
-            WHEN MATCHED AND struct(s.ts, s.lsn) > struct(t.ts, t._lsn)
-                THEN UPDATE SET {set_cols}
-            WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"""
+            merge_into_sql(
+                self.table, payload, MERGE_KEYS, hard_delete=self.hard_delete
+            )
         )
         wm = reduced.groupBy(
             F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).alias("b")
@@ -135,8 +199,7 @@ class IcebergTarget:
         props = {f"cdc.watermark.lsn.{r['b']}": str(r["l"]) for r in wm}
         props["cdc.batch-id"] = str(batch_id)
         props["cdc.stream-id"] = stream_id
-        kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
-        self.spark.sql(f"ALTER TABLE {self.table} SET TBLPROPERTIES ({kv})")
+        self.spark.sql(set_tblproperties_sql(self.table, props))
         return MergeResult(
             batch_id=batch_id, applied=True,
             extra={"watermarks": json.loads(json.dumps(props))},
