@@ -90,15 +90,20 @@ def q_validate_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_group_merge_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group-and-Merge over whole conversations: USE_FIRST / USE_LAST /
-    NULL_IF_DIFFERENT policies + set-union merge of text values (the RDF
-    model-union analogue), reference JenaGroupMergeStep + OtherFieldAction."""
+    """Group-and-Merge over whole conversations: all five OtherFieldAction
+    policies (USE_FIRST / USE_LAST / NULL_IF_DIFFERENT / SET_NULL / DROP)
+    + set-union merge of text values (the RDF model-union analogue),
+    reference JenaGroupMergeStep + OtherFieldAction."""
     from kettle_jena_plugins_spark.operators.groupmerge import (
         OtherFieldAction,
         group_merge,
     )
 
-    ch = change_events(spark, sf_dir).withColumn("last_text", F.col("text"))
+    ch = (
+        change_events(spark, sf_dir)
+        .withColumn("last_text", F.col("text"))
+        .withColumn("redacted", F.col("role"))
+    )
     gm = group_merge(
         ch,
         group_keys=["conv_id"],
@@ -107,6 +112,7 @@ def q_group_merge_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "role": OtherFieldAction.USE_FIRST,
             "last_text": OtherFieldAction.USE_LAST,
             "tool": OtherFieldAction.NULL_IF_DIFFERENT,
+            "redacted": OtherFieldAction.SET_NULL,
             "op": OtherFieldAction.DROP,
             "turn_idx": OtherFieldAction.DROP,
         },
@@ -116,6 +122,7 @@ def q_group_merge_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("role").alias("first_role"),
         F.col("last_text"),
         F.col("tool").alias("tool_nid"),
+        F.col("redacted"),
         F.when(
             F.size("text_merged") > 0, F.concat_ws("|", F.col("text_merged"))
         ).alias("texts_merged"),
@@ -885,6 +892,7 @@ SELECT a.conv_id,
        f.role AS first_role,
        l.text AS last_text,
        a.tool_nid,
+       CAST(NULL AS VARCHAR) AS redacted,
        a.texts_merged
 FROM aggs a
 JOIN (SELECT conv_id, role FROM ranked WHERE rn_a = 1) f USING (conv_id)
