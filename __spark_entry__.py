@@ -78,7 +78,11 @@ def q_cdc_final_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_validate_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHACL-split analogue: inject deterministic violations (null key / bad
-    op) into the stream, then count dead-letter rows per reason."""
+    op) into the stream, then count dead-letter rows per reason — including
+    a USER-DEFINED constraint predicate (the runtime-loaded shapes-graph
+    analogue, JenaShaclStep.java:59-71)."""
+    from kettle_jena_plugins_spark.operators.validate import ValidationSpec
+
     ch = change_events(spark, sf_dir)
     dirty = ch.withColumn(
         "conv_id",
@@ -86,7 +90,8 @@ def q_validate_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "op", F.when(F.col("lsn") % 101 == 0, F.lit("X")).otherwise(F.col("op"))
     )
-    return dead_letter_stats(dirty)
+    spec = ValidationSpec(constraints=(("lsn_mod103", "lsn % 103 = 0"),))
+    return dead_letter_stats(dirty, spec)
 
 
 def q_group_merge_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,6 +1049,8 @@ reasons AS (
     SELECT 'null_ts' FROM dirty WHERE ts IS NULL
     UNION ALL
     SELECT 'bad_op' FROM dirty WHERE op IS NULL OR op NOT IN ('I','U','D')
+    UNION ALL
+    SELECT 'lsn_mod103' FROM dirty WHERE lsn % 103 = 0
 )
 SELECT reason, COUNT(*) AS n FROM reasons GROUP BY reason
 """,

@@ -35,12 +35,20 @@ class Policy(str, Enum):
 
 @dataclass(frozen=True)
 class ValidationSpec:
-    """The expected-event contract (the engine's 'shapes graph')."""
+    """The expected-event contract (the engine's 'shapes graph').
+
+    `constraints` makes the rule set user-extensible, like the reference's
+    runtime-loaded shapes file (JenaShaclStep.java:59-71): each entry is
+    (reason, SQL predicate) where a TRUE predicate flags a violation —
+    plain strings, so a spec can live in config/pipeline files and ship to
+    executors as part of the plan (compiled via F.expr, still built-ins)."""
 
     require_keys: tuple[str, ...] = ("conv_id", "turn_idx")
     require_ts: bool = True
     valid_ops: tuple[str, ...] = VALID_OPS
     null_key_policy: Policy = Policy.ERROR  # ERROR → dead-letter the row
+    # e.g. (("neg_turn", "turn_idx < 0"), ("long_text", "length(text) > 1e6"))
+    constraints: tuple[tuple[str, str], ...] = ()
 
 
 def _violation_checks(spec: ValidationSpec) -> list[tuple[str, Column]]:
@@ -52,6 +60,9 @@ def _violation_checks(spec: ValidationSpec) -> list[tuple[str, Column]]:
     checks.append(
         ("bad_op", ~F.col("op").isin(list(spec.valid_ops)) | F.col("op").isNull())
     )
+    for reason, predicate in spec.constraints:
+        # null-safe: a predicate evaluating to NULL is not a violation
+        checks.append((reason, F.coalesce(F.expr(predicate), F.lit(False))))
     return checks
 
 
