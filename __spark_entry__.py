@@ -268,6 +268,27 @@ def q_serialize_turtle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_serialize_rdfxml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat RDF/XML serialization (Rdf11.java:82-83): XML declaration +
+    rdf:RDF envelope, one rdf:Description per subject with xml:lang /
+    rdf:datatype property elements and XML content escaping."""
+    from kettle_jena_plugins_spark.operators.serialize import (
+        StatementSpec,
+        rdfxml_rows,
+    )
+
+    return rdfxml_rows(
+        _subjected(spark, sf_dir),
+        subject_col="subject",
+        statements={
+            f"{_NS_T}role": StatementSpec("role", lang="en"),
+            f"{_NS_T}text": "text",
+            f"{_NS_T}turn": StatementSpec("turn_idx", datatype="integer"),
+        },
+        namespaces={"t": _NS_T},
+    )
+
+
 def q_typed_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XSD typed-literal conversion (convertSqlValueToRdf,
     JenaModelStep.java:439-533): canonical `"lex"^^<xsd:type>` / `"lex"@lang`
@@ -498,6 +519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "construct_nested": q_construct_nested,
     "serialize_ntriples": q_serialize_ntriples,
     "serialize_turtle": q_serialize_turtle,
+    "serialize_rdfxml": q_serialize_rdfxml,
     "typed_literals": q_typed_literals,
     "value_substitution": q_value_substitution,
     "cdc_lww_state": q_cdc_lww_state,
@@ -537,6 +559,14 @@ def _ESC(x: str) -> str:
     return (
         f"replace(replace(replace(replace(replace({x}, '\\', '\\\\'), "
         f"'\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+    )
+
+
+def _XESC(x: str) -> str:
+    """DuckDB mirror of serialize.xml_escape (& first, then < and >)."""
+    return (
+        f"replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'), "
+        "'>', '&gt;')"
     )
 
 # shared oracle CTE fragments (DuckDB dialect) --------------------------------
@@ -980,6 +1010,31 @@ UNION ALL
 SELECT '<' || s || '> t:turn "' || CAST(turn_idx AS VARCHAR)
        || '"^^<{_XSD}integer> .'
 FROM subj WHERE turn_idx IS NOT NULL
+""",
+    "serialize_rdfxml": f"""
+WITH {CHANGES_ORACLE_CTE},
+subj AS (
+    SELECT 'ex:conv/' || conv_id || '/' || CAST(turn_idx AS VARCHAR)
+               || '#' || CAST(lsn AS VARCHAR) AS s,
+           role, text, turn_idx
+    FROM changes
+)
+SELECT '<?xml version="1.0" encoding="UTF-8"?>' AS value
+UNION ALL
+SELECT '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+       || ' xmlns:t="{_NS_T}">'
+UNION ALL
+SELECT '</rdf:RDF>'
+UNION ALL
+SELECT '  <rdf:Description rdf:about="'
+       || replace({_XESC("s")}, '"', '&quot;') || '">'
+       || COALESCE('<t:role xml:lang="en">' || {_XESC("role")}
+                   || '</t:role>', '')
+       || COALESCE('<t:text>' || {_XESC("text")} || '</t:text>', '')
+       || COALESCE('<t:turn rdf:datatype="{_XSD}integer">'
+                   || CAST(turn_idx AS VARCHAR) || '</t:turn>', '')
+       || '</rdf:Description>'
+FROM subj
 """,
     "typed_literals": f"""
 WITH {CHANGES_ORACLE_CTE}

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.qnames import DEFAULT_NAMESPACES
 from ..functions.typed_literals import XSD, to_typed_literal
 
-FORMATS = ("ntriples", "turtle", "canon", "jsonl", "parquet")
+FORMATS = ("ntriples", "turtle", "rdfxml", "canon", "jsonl", "parquet")
 
 
 @dataclass(frozen=True)
@@ -160,6 +160,114 @@ def turtle_lines(
     return header.unionByName(body)
 
 
+def xml_escape(col: Column) -> Column:
+    """XML element-content escaping: & first, then < and >."""
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def xml_escape_attr(col: Column) -> Column:
+    return F.replace(xml_escape(col), F.lit('"'), F.lit("&quot;"))
+
+
+def rdfxml_rows(
+    docs: DataFrame,
+    subject_col: str = "subject",
+    statements: dict[str, StatementSpec | str] | None = None,
+    namespaces: dict[str, str] | None = None,
+) -> DataFrame:
+    """Flat RDF/XML (Rdf11.java:82-83 RDF/XML and, for this engine's
+    one-subject-per-row documents, RDF/XML-ABBREV collapses to the same
+    shape): XML declaration + <rdf:RDF> open with xmlns declarations, one
+    `<rdf:Description rdf:about=...>` row per subject holding its property
+    elements (xml:lang / rdf:datatype attributes for tagged/typed objects),
+    and the close tag. Every predicate must compact under a registered
+    namespace — RDF/XML cannot express un-namespaced property elements."""
+    from ..functions.typed_literals import RDF_NS, XSD
+
+    ns = dict(
+        sorted(
+            (namespaces if namespaces is not None else DEFAULT_NAMESPACES).items()
+        )
+    )
+    ns.setdefault("rdf", RDF_NS)
+    stmts = statements or {}
+    segs: list[Column] = []
+    for prop, spec in stmts.items():
+        if isinstance(spec, str):
+            spec = StatementSpec(spec)
+        qn = _compact(prop, ns)
+        if qn.startswith("<"):
+            raise ValueError(
+                f"RDF/XML requires a registered namespace for predicate {prop}"
+            )
+        src = F.col(spec.column)
+        if spec.lang:
+            seg = F.when(
+                src.isNotNull(),
+                F.concat(
+                    F.lit(f'<{qn} xml:lang="{spec.lang}">'),
+                    xml_escape(src.cast("string")),
+                    F.lit(f"</{qn}>"),
+                ),
+            )
+        elif spec.datatype:
+            dt_ns = RDF_NS if spec.datatype in ("HTML", "XMLLiteral") else XSD
+            uri = dt_ns + (
+                "normalizedString"
+                if spec.datatype == "normalizeString"
+                else spec.datatype
+            )
+            rendered = to_typed_literal(src, spec.datatype)
+            # rendered is '"lex"^^<uri>' with a constant-length suffix;
+            # slice the lexical form back out (gated nulls stay null)
+            suffix_len = len(f'"^^<{uri}>')
+            lex = rendered.substr(
+                F.lit(2), F.length(rendered) - F.lit(suffix_len + 1)
+            )
+            seg = F.when(
+                rendered.isNotNull(),
+                F.concat(
+                    F.lit(f'<{qn} rdf:datatype="{uri}">'),
+                    xml_escape(lex),
+                    F.lit(f"</{qn}>"),
+                ),
+            )
+        else:
+            seg = F.when(
+                src.isNotNull(),
+                F.concat(
+                    F.lit(f"<{qn}>"),
+                    xml_escape(src.cast("string")),
+                    F.lit(f"</{qn}>"),
+                ),
+            )
+        segs.append(F.coalesce(seg, F.lit("")))
+    body = docs.select(
+        F.concat(
+            F.lit('  <rdf:Description rdf:about="'),
+            xml_escape_attr(F.col(subject_col)),
+            F.lit('">'),
+            *segs,
+            F.lit("</rdf:Description>"),
+        ).alias("value")
+    )
+    xmlns = " ".join(f'xmlns:{p}="{u}"' for p, u in sorted(ns.items()))
+    spark = docs.sparkSession
+    header = spark.createDataFrame(
+        [
+            ('<?xml version="1.0" encoding="UTF-8"?>',),
+            (f"<rdf:RDF {xmlns}>",),
+        ],
+        "value string",
+    )
+    footer = spark.createDataFrame([("</rdf:RDF>",)], "value string")
+    # header ∪ body ∪ footer: coalesce(1) preserves partition order, so a
+    # single-file write yields well-formed XML top to bottom
+    return header.unionByName(body).unionByName(footer)
+
+
 def serialize_docs(
     docs: DataFrame,
     path: str,
@@ -191,6 +299,11 @@ def serialize_docs(
         ).write.mode("overwrite").text(path)
     elif fmt == "turtle":
         df = turtle_lines(out, subject_col, statements, namespaces)
+        if single_file:
+            df = df.coalesce(1)
+        df.write.mode("overwrite").text(path)
+    elif fmt == "rdfxml":
+        df = rdfxml_rows(out, subject_col, statements, namespaces)
         if single_file:
             df = df.coalesce(1)
         df.write.mode("overwrite").text(path)

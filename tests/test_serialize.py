@@ -90,6 +90,63 @@ def test_turtle_header_and_compaction(spark):
     assert '<s1> <http://other.org/p> "hi" .' in out  # unregistered → full
 
 
+def test_rdfxml_rows_shape_and_escaping(spark):
+    from kettle_jena_plugins_spark.operators.serialize import rdfxml_rows
+
+    d = df(spark, [("s1", "a<b&c>d", 7), ("s2", None, None)])
+    out = lines(
+        rdfxml_rows(
+            d,
+            "subject",
+            {
+                f"{NS}v": StatementSpec("v", lang="en"),
+                f"{NS}n": StatementSpec("n", datatype="integer"),
+            },
+            namespaces={"t": NS},
+        )
+    )
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    assert '<?xml version="1.0" encoding="UTF-8"?>' in out
+    assert f'<rdf:RDF xmlns:rdf="{rdf}" xmlns:t="{NS}">' in out
+    assert "</rdf:RDF>" in out
+    assert (
+        '  <rdf:Description rdf:about="s1">'
+        '<t:v xml:lang="en">a&lt;b&amp;c&gt;d</t:v>'
+        f'<t:n rdf:datatype="{xsd}integer">7</t:n>'
+        "</rdf:Description>" in out
+    )
+    # all-null subject still gets an (empty) description element
+    assert '  <rdf:Description rdf:about="s2"></rdf:Description>' in out
+
+
+def test_rdfxml_requires_namespaced_predicates(spark):
+    from kettle_jena_plugins_spark.operators.serialize import rdfxml_rows
+
+    d = df(spark, [("s1", "x", 1)])
+    with pytest.raises(ValueError, match="registered namespace"):
+        rdfxml_rows(d, "subject", {"http://other.org/p": "v"}, {"t": NS})
+
+
+def test_serialize_docs_rdfxml_single_file_order(spark, tmp_path):
+    d = df(spark, [("s1", "hi", 1)])
+    path = str(tmp_path / "out.rdf")
+    serialize_docs(
+        d,
+        path,
+        fmt="rdfxml",
+        statements={f"{NS}v": "v"},
+        namespaces={"t": NS},
+        single_file=True,
+    )
+    (part,) = glob.glob(f"{path}/part-*")
+    content = open(part).read().splitlines()
+    assert content[0].startswith("<?xml")
+    assert content[1].startswith("<rdf:RDF")
+    assert content[-1] == "</rdf:RDF>"
+    assert any("rdf:Description" in line for line in content[2:-1])
+
+
 def test_serialize_docs_turtle(spark, tmp_path):
     d = df(spark, [("s1", "hi", 1), ("s2", "yo", 2)])
     path = str(tmp_path / "out.ttl")
