@@ -33,9 +33,19 @@ from kettle_jena_plugins_spark.functions.textnorm import normalize_text
 # real cluster each added executor brings its own disks/S3 bandwidth, so
 # RAM-backed I/O is the faithful model for the scaling measurement
 os.makedirs("/dev/shm/sparktmp", exist_ok=True)
+extra = {"spark.local.dir": "/dev/shm/sparktmp"}
+# shuffle-term tuning knobs (BENCH.md scaling section): on tmpfs, shuffle
+# compression burns CPU to save RAM-disk bytes — measurable via env
+if os.environ.get("SCALE_NO_SHUFFLE_COMPRESS"):
+    extra["spark.shuffle.compress"] = "false"
+    extra["spark.shuffle.spill.compress"] = "false"
+for kv in os.environ.get("SCALE_EXTRA_CONF", "").split(";"):
+    if "=" in kv:
+        k, v = kv.split("=", 1)
+        extra[k] = v
 spark = get_spark(app_name=f"scale-{cores}", master=f"local[{cores}]",
-                  shuffle_partitions=2 * cores,
-                  extra_conf={"spark.local.dir": "/dev/shm/sparktmp"})
+                  shuffle_partitions=int(os.environ.get("SCALE_SHUFFLE_PARTS", 2 * cores)),
+                  extra_conf=extra)
 # warm-up: fork + import every Python UDF worker before the timed region —
 # sustained throughput is the metric, not cold-start
 spark.range(0, 200000, numPartitions=2 * cores).select(
@@ -47,13 +57,15 @@ tgt.create()
 bounds = [int(n * i / nb) for i in range(nb + 1)]
 cfg = CDCConfig(salted=False, normalize=True)
 t0 = time.time()
+events = 0
 for i in range(nb):
-    apply_batch(tgt, raw.filter((F.col("lsn") >= bounds[i]) & (F.col("lsn") < bounds[i+1])), i, cfg)
+    r = apply_batch(tgt, raw.filter((F.col("lsn") >= bounds[i]) & (F.col("lsn") < bounds[i+1])), i, cfg)
+    events += r.events_in
 wall = time.time() - t0
 rows = tgt.read().count()
 shutil.rmtree(d, ignore_errors=True)
 print(json.dumps({"cores": cores, "wall_sec": round(wall, 2),
-                  "events_per_sec": round(n * 1.05 / wall), "rows": rows}))
+                  "events_per_sec": round(events / wall), "rows": rows}))
 """
 
 
