@@ -39,7 +39,11 @@ df = (spark.range(0, rows, numPartitions=2 * cores)
               F.col("id").alias("lsn"),
               (F.col("id") % 97).cast("double").alias("ts")))
 agg = df.groupBy("k").agg(F.max(F.struct("ts", "lsn")).alias("w"))
-t0 = time.time(); n = agg.count(); wall = time.time() - t0
+# consume the aggregate value so Catalyst cannot prune max(struct) away
+# (a bare count() reduces the probe to distinct-key counting)
+t0 = time.time()
+row = agg.select(F.count(F.lit(1)).alias("n"), F.sum("w.lsn")).first()
+n = row["n"]; wall = time.time() - t0
 print(json.dumps({"cores": cores, "parts": parts, "compress": compress,
                   "wall_sec": round(wall, 2), "groups": n,
                   "rows_per_sec": round(rows / wall)}))
