@@ -73,10 +73,34 @@ def parse(spec: dict | str, variables: dict[str, str] | None = None) -> list[Ste
     return steps
 
 
+def _validate_mapping(i: int, m: dict) -> None:
+    if not isinstance(m, dict) or "property" not in m:
+        raise PipelineConfigError(f"step {i}: mapping needs a property")
+    if m.get("children"):
+        # a blank-node substructure carries children INSTEAD of a field
+        # (BLANK_NODE_FIELD_NAME indirection, JenaModelStepMeta.java:241-261)
+        if m.get("field"):
+            raise PipelineConfigError(
+                f"step {i}: mapping {m['property']!r} cannot have both "
+                "field and children"
+            )
+        for child in m["children"]:
+            _validate_mapping(i, child)
+    elif not m.get("field"):
+        raise PipelineConfigError(
+            f"step {i}: mapping {m['property']!r} requires a field"
+        )
+
+
 def _validate_step(i: int, s: Step) -> None:
+    from ..operators.serialize import FORMATS
+
     c = s.conf
-    if s.type == "construct" and not c.get("mappings"):
-        raise PipelineConfigError(f"step {i}: construct requires mappings")
+    if s.type == "construct":
+        if not c.get("mappings"):
+            raise PipelineConfigError(f"step {i}: construct requires mappings")
+        for m in c["mappings"]:
+            _validate_mapping(i, m)
     if s.type == "combine":
         # MutateFirstModel=NO without a target is a config error in the
         # reference (JenaCombineStep.java:77-80); here: target required
@@ -86,9 +110,7 @@ def _validate_step(i: int, s: Step) -> None:
             raise PipelineConfigError(f"step {i}: combine requires sources")
     if s.type == "group_merge" and not c.get("group_keys"):
         raise PipelineConfigError(f"step {i}: group_merge requires group_keys")
-    if s.type == "serialize" and c.get("fmt", "ntriples") not in (
-        "ntriples", "canon", "jsonl", "parquet",
-    ):
+    if s.type == "serialize" and c.get("fmt", "ntriples") not in FORMATS:
         raise PipelineConfigError(f"step {i}: bad serialize fmt {c.get('fmt')!r}")
     if s.type == "select" and not c.get("columns"):
         raise PipelineConfigError(f"step {i}: select requires columns")
@@ -113,11 +135,36 @@ def run_pipeline(
 ) -> DataFrame:
     """Compose the steps over `df`. A trailing serialize step writes to
     `sink_path` (required then) and returns the written DataFrame."""
-    from ..operators.combine import combine_columns
+    from ..operators.combine import CombineField, combine_columns
     from ..operators.construct import PropertyMapping, construct_doc
     from ..operators.groupmerge import OtherFieldAction, group_merge
-    from ..operators.serialize import serialize_docs
-    from ..operators.validate import ValidationSpec, validate_split
+    from ..operators.serialize import StatementSpec, serialize_docs
+    from ..operators.validate import Policy, ValidationSpec, validate_split
+
+    def mapping(m: dict) -> PropertyMapping:
+        return PropertyMapping(
+            field=m.get("field"),
+            property=m["property"],
+            skip=m.get("skip", False),
+            if_null=Policy[m.get("if_null", "IGNORE")],
+            children=tuple(mapping(ch) for ch in m.get("children", ())),
+        )
+
+    def combine_field(src) -> CombineField | str:
+        if isinstance(src, str):
+            return src
+        return CombineField(
+            src["name"],
+            if_missing=Policy[src.get("if_missing", "ERROR")],
+            if_null=Policy[src.get("if_null", "IGNORE")],
+        )
+
+    def statement(v) -> StatementSpec | str:
+        if isinstance(v, str):
+            return v
+        return StatementSpec(
+            v["column"], datatype=v.get("datatype"), lang=v.get("lang")
+        )
 
     out = df
     for i, s in enumerate(steps):
@@ -131,14 +178,14 @@ def run_pipeline(
                 out,
                 uri_prefix=c.get("uri_prefix", "ex:"),
                 uri_fields=c.get("uri_fields", []),
-                mappings=[PropertyMapping(**m) for m in c["mappings"]],
+                mappings=[mapping(m) for m in c["mappings"]],
                 namespaces=c.get("namespaces", {}),
                 remove_mapped=c.get("remove_mapped", False),
             )
         elif s.type == "combine":
             out = combine_columns(
                 out,
-                c["sources"],
+                [combine_field(src) for src in c["sources"]],
                 c["target"],
                 remove_sources=c.get("remove_sources", True),
             )
@@ -158,6 +205,9 @@ def run_pipeline(
                 ValidationSpec(
                     require_keys=tuple(c.get("require_keys", ())),
                     require_ts=c.get("require_ts", False),
+                    constraints=tuple(
+                        (r, p) for r, p in c.get("constraints", ())
+                    ),
                 ),
             )
             out = ok  # dead-letter routing handled by the caller's sink cfg
@@ -169,7 +219,12 @@ def run_pipeline(
                 sink_path,
                 fmt=c.get("fmt", "ntriples"),
                 subject_col=c.get("subject_col", "subject"),
-                statements=c.get("statements"),
+                statements={
+                    k: statement(v)
+                    for k, v in (c.get("statements") or {}).items()
+                }
+                or None,
+                namespaces=c.get("namespaces"),
                 single_file=c.get("single_file", False),
             )
     return out

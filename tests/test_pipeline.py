@@ -117,3 +117,125 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
 def test_pipeline_json_string_input(spark):
     steps = parse(json.dumps(SPEC), variables={"ns": "http://x"})
     assert steps[1].conf["uri_prefix"] == "http://x/conv/"
+
+
+NESTED_SPEC = {
+    "steps": [
+        {
+            "type": "validate_split",
+            "require_keys": ["conv_id"],
+            "constraints": [["neg_turn", "turn_idx < 0"]],
+        },
+        {
+            "type": "construct",
+            "uri_prefix": "ex:conv/",
+            "uri_fields": ["conv_id", "turn_idx"],
+            "mappings": [
+                {"field": "text", "property": "t:text"},
+                {
+                    "property": "t:meta",
+                    "children": [
+                        {"field": "role", "property": "t:role"},
+                        {"field": "tool", "property": "t:tool",
+                         "if_null": "WARN"},
+                    ],
+                },
+            ],
+            "namespaces": {"t": "http://example.org/transcript#"},
+        },
+        {
+            "type": "combine",
+            "sources": [
+                {"name": "tool", "if_null": "WARN"},
+                "role",
+                {"name": "missing_col", "if_missing": "IGNORE"},
+            ],
+            "target": "effective_tool",
+            "remove_sources": False,
+        },
+    ]
+}
+
+
+def test_round2_spec_surfaces_round_trip_and_execute(spark):
+    """Nested blank-node mappings, per-column combine policies, and custom
+    validation constraints all parse, persist round-trip, and execute."""
+    steps = parse(NESTED_SPEC)
+    assert parse(to_json(steps)) == steps  # persist round-trip
+    got = run_pipeline(events(spark), steps)
+    row = got.filter("turn_idx >= 0").first()
+    assert "t_meta" in [f.name for f in got.schema["doc"].dataType.fields]
+    assert row["effective_tool"] is not None
+    # custom constraint filtered negative turns through validate_split
+    assert got.filter("turn_idx < 0").count() == 0
+
+
+def test_nested_mapping_validation_errors():
+    with pytest.raises(PipelineConfigError, match="both"):
+        parse(
+            {
+                "steps": [
+                    {
+                        "type": "construct",
+                        "mappings": [
+                            {
+                                "field": "x",
+                                "property": "t:m",
+                                "children": [
+                                    {"field": "y", "property": "t:y"}
+                                ],
+                            }
+                        ],
+                    }
+                ]
+            }
+        )
+    with pytest.raises(PipelineConfigError, match="requires a field"):
+        parse(
+            {
+                "steps": [
+                    {"type": "construct", "mappings": [{"property": "t:m"}]}
+                ]
+            }
+        )
+
+
+def test_serialize_turtle_from_spec(spark, tmp_path):
+    steps = parse(
+        {
+            "steps": [
+                {
+                    "type": "construct",
+                    "uri_prefix": "ex:conv/",
+                    "uri_fields": ["conv_id", "turn_idx"],
+                    "mappings": [{"field": "text", "property": "t:text"}],
+                    "namespaces": {"t": "http://example.org/transcript#"},
+                },
+                {
+                    "type": "serialize",
+                    "fmt": "turtle",
+                    "subject_col": "doc_canon",
+                    "statements": {
+                        "http://example.org/transcript#role": "role",
+                        "http://example.org/transcript#turn": {
+                            "column": "turn_idx",
+                            "datatype": "integer",
+                        },
+                    },
+                    "namespaces": {"t": "http://example.org/transcript#"},
+                    "single_file": True,
+                },
+            ]
+        }
+    )
+    out_dir = str(tmp_path / "ttl")
+    run_pipeline(events(spark), steps, sink_path=out_dir)
+    txt = spark.read.text(out_dir).collect()
+    lines = [r["value"] for r in txt]
+    assert any(line.startswith("@prefix t:") for line in lines)
+    assert any(" t:turn " in line and "^^<" in line for line in lines)
+
+
+def test_bad_serialize_fmt_rejected():
+    with pytest.raises(PipelineConfigError, match="bad serialize fmt"):
+        parse({"steps": [{"type": "serialize", "fmt": "n3x"}]})
