@@ -253,21 +253,30 @@ def jaccard_verify(
 def simhash60(texts: pd.Series) -> pd.Series:
     """60-bit simhash over whitespace tokens; per-token hash = first 15 hex
     chars of md5 (portable — the DuckDB oracle reproduces it bit-for-bit).
-    Vectorized via Arrow batches; pure function of the text."""
+    Arrow-batched, and the bit-vote is numpy-vectorized: the only remaining
+    per-token Python is the md5 call itself (fixed by oracle parity); the
+    60×n_tokens vote loop runs as one (n_tokens, 60) matrix reduction."""
+    import numpy as np
+
+    jbits = np.arange(60, dtype=np.uint64)
 
     def sh(t):
         if t is None:
             return None
-        counts = [0] * 60
-        for tok in t.split():
-            h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
-            for j in range(60):
-                counts[j] += 1 if (h >> j) & 1 else -1
-        v = 0
-        for j in range(60):
-            if counts[j] > 0:
-                v |= 1 << j
-        return v
+        toks = t.split()
+        if not toks:
+            return 0
+        hs = np.fromiter(
+            (
+                int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                for tok in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        ones = ((hs[:, None] >> jbits) & 1).sum(axis=0)  # votes for bit=1
+        # counts[j] > 0  ⇔  ones > n_tok - ones
+        return int((((2 * ones > len(toks)).astype(np.uint64)) << jbits).sum())
 
     return texts.map(sh)
 
