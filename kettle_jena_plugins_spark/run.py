@@ -7,6 +7,10 @@ Commands:
   stream   --wal DIR --table DIR --checkpoint DIR          tail WAL → MERGE
   apply    --events PATH --table DIR --batch-id N          one batch
   state    --table DIR [--limit N]                         show final state
+  changes  --table DIR --from-version A --to-version B     net changelog read
+           between two committed snapshots (incremental consumption)
+  maintain --table DIR [--keep-last N]                     expire old snapshots
+           and reclaim unreferenced data files
   pipeline --spec FILE --input PATH [--sink DIR] [--var k=v]
            run a declarative pipeline spec over a parquet input (the
            `.ktr`-file entry point: reference EndToEndIT.java:60-92 runs a
@@ -73,6 +77,16 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--table", required=True)
     st.add_argument("--limit", type=int, default=20)
 
+    ch = sub.add_parser("changes")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-version", type=int, required=True)
+    ch.add_argument("--to-version", type=int, required=True)
+    ch.add_argument("--limit", type=int, default=20)
+
+    mt = sub.add_parser("maintain")
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--keep-last", type=int, default=2)
+
     pl = sub.add_parser("pipeline")
     pl.add_argument("--spec", required=True, help="JSON pipeline spec file")
     pl.add_argument("--input", required=True, help="parquet input path; "
@@ -135,6 +149,15 @@ def main(argv: list[str] | None = None) -> int:
         for r in df.limit(args.limit).collect():
             print(json.dumps(r.asDict(), default=str))
         print(json.dumps({"rows": df.count()}))
+    elif args.cmd == "changes":
+        tgt = ParquetLakeTarget(spark, args.table)
+        df = tgt.changes_between(args.from_version, args.to_version)
+        for r in df.limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+        print(json.dumps({"changed_keys": df.count()}))
+    elif args.cmd == "maintain":
+        tgt = ParquetLakeTarget(spark, args.table)
+        print(json.dumps(tgt.expire_snapshots(keep_last=args.keep_last)))
     elif args.cmd == "pipeline":
         from .plans.pipeline import parse, run_pipeline
 

@@ -105,11 +105,33 @@ class ParquetLakeTarget:
     def exists(self) -> bool:
         return os.path.exists(self._current_path())
 
-    def manifest(self) -> dict:
-        with open(self._current_path()) as f:
-            version = int(f.read().strip())
-        with open(os.path.join(self._snap_dir, f"v{version}.json")) as f:
-            return json.load(f)
+    def manifest(self, version: int | None = None) -> dict:
+        """Current manifest, or a historical one (time travel) — every
+        commit keeps its v{N}.json until expire_snapshots removes it."""
+        if version is None:
+            with open(self._current_path()) as f:
+                version = int(f.read().strip())
+        try:
+            with open(os.path.join(self._snap_dir, f"v{version}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot v{version} does not exist (expired or never "
+                f"committed); available: {self.snapshots()}"
+            ) from None
+
+    def snapshots(self) -> list[int]:
+        """Committed snapshot versions still on disk, oldest first."""
+        if not os.path.isdir(self._snap_dir):
+            return []
+        out = []
+        for f in os.listdir(self._snap_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    out.append(int(f[1:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
 
     def last_committed_batch(self) -> int:
         return self.manifest()["batch_id"] if self.exists() else -1
@@ -215,12 +237,16 @@ class ParquetLakeTarget:
         ).select(*df.columns)
 
     def read_internal(
-        self, buckets: list[int] | None = None, resolve: bool | None = None
+        self,
+        buckets: list[int] | None = None,
+        resolve: bool | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Rows incl. tombstones + internal cols, optionally bucket-pruned.
         resolve=None → auto: LWW-resolve iff any selected bucket has more
-        than one layer (merge-on-read)."""
-        m = self.manifest()
+        than one layer (merge-on-read). version → time travel to that
+        committed snapshot."""
+        m = self.manifest(version)
         cur_schema = T.StructType.fromJson(m["schemas"][str(m["current_schema_id"])])
         groups: dict[int, list[str]] = {}
         multi_layer = False
@@ -246,10 +272,85 @@ class ParquetLakeTarget:
             resolve = multi_layer
         return self._resolve(out) if resolve else out
 
-    def read(self) -> DataFrame:
-        """The logical table: live rows only, internal columns hidden."""
-        df = self.read_internal()
+    def read(self, version: int | None = None) -> DataFrame:
+        """The logical table: live rows only, internal columns hidden.
+        version → time-travel read of that committed snapshot."""
+        df = self.read_internal(version=version)
         return df.filter(~F.col("_deleted")).drop(*INTERNAL_COLS)
+
+    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+        """Key-level NET changelog between two committed snapshots — the
+        incremental-consumption read (Iceberg changelog-scan analogue): one
+        row per key whose visible state differs, with `_change_op` ∈
+        I (newly live, incl. re-insert after delete), U (live, newer
+        writer), D (was live, now tombstoned). Intermediate flips inside the
+        range collapse to the net effect (snapshot diff, not event replay —
+        the WAL itself is the event-level log).
+
+        Scale shape: two bucket-pruned snapshot reads, each LWW-resolved to
+        one row per key, then ONE full-outer key join; cost is O(keys
+        touched by the layers involved), never O(events)."""
+        old = self.read_internal(resolve=True, version=v_from).select(
+            *MERGE_KEYS,
+            F.col("_lsn").alias("_lsn_old"),
+            F.col("_deleted").alias("_del_old"),
+        )
+        new = self.read_internal(resolve=True, version=v_to)
+        j = new.join(old, list(MERGE_KEYS), "full_outer")
+        live_new = F.col("_deleted").isNotNull() & ~F.col("_deleted")
+        live_old = F.col("_del_old").isNotNull() & ~F.col("_del_old")
+        op = (
+            F.when(live_new & ~live_old, F.lit("I"))
+            .when(~live_new & live_old, F.lit("D"))
+            .when(
+                live_new & live_old & (F.col("_lsn") != F.col("_lsn_old")),
+                F.lit("U"),
+            )
+        )
+        return (
+            j.withColumn("_change_op", op)
+            .filter(F.col("_change_op").isNotNull())
+            .drop("_lsn_old", "_del_old")
+        )
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Maintenance: drop manifests older than the newest `keep_last`
+        (the CURRENT snapshot is always kept) and delete data files no kept
+        manifest references (compaction/COW leave unreferenced file groups
+        behind by design — commits never delete, so readers of older
+        snapshots are never broken until expiry). Returns removal counts."""
+        versions = self.snapshots()
+        with open(self._current_path()) as f:
+            current = int(f.read().strip())
+        keep = set(versions[-keep_last:]) | {current}
+        referenced: set[str] = set()
+        for v in keep:
+            m = self.manifest(v)
+            for entry in m.get("buckets", {}).values():
+                for layer in entry["layers"]:
+                    referenced.update(layer["files"])
+        removed_files = 0
+        data_dir = os.path.join(self.root, "data")
+        for dirpath, _dirnames, filenames in os.walk(data_dir, topdown=False):
+            for fname in filenames:
+                p = os.path.join(dirpath, fname)
+                if fname.endswith(".parquet") and p not in referenced:
+                    os.remove(p)
+                    removed_files += 1
+                elif fname in ("_SUCCESS",) or fname.endswith(".crc"):
+                    os.remove(p)
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        removed_manifests = 0
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self._snap_dir, f"v{v}.json"))
+                removed_manifests += 1
+        return {
+            "kept": sorted(keep),
+            "removed_manifests": removed_manifests,
+            "removed_files": removed_files,
+        }
 
     # ---------------------------------------------------------------- write
 
