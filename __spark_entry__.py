@@ -420,6 +420,20 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_blocked(_embeds(spark, sf_dir), threshold=0.4)
 
 
+def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup: hyperplane-LSH gate then exact cosine verify —
+    the embedding analogue of minhash-propose / jaccard-verify. The md5
+    planes are rebuilt in the oracle, so the CANDIDATE SET itself (not just
+    the scores) is oracle-checked."""
+    from kettle_jena_plugins_spark.operators.similarity import (
+        near_dup_pairs_lsh_gated,
+    )
+
+    return near_dup_pairs_lsh_gated(
+        _embeds(spark, sf_dir), dim=64, threshold=0.4, n_planes=4, n_tables=8
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k. The hyperplanes are md5-derived
     constants (similarity._plane_matrix), so the DuckDB oracle reproduces the
@@ -506,6 +520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "embed_topk": q_embed_topk,
     "embed_near_dup": q_embed_near_dup,
+    "embed_near_dup_lsh": q_embed_near_dup_lsh,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "text_profile": q_text_profile,
@@ -735,6 +750,39 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_inner_product(a.v, b.v) /
             (sqrt(list_inner_product(a.v, a.v)) *
              sqrt(list_inner_product(b.v, b.v))), 4) >= 0.4
+""",
+    # embed_near_dup_lsh: same plane machinery as ann_topk (below) but the
+    # gate feeds a pair-wise verify instead of a per-query rank.
+    "embed_near_dup_lsh": """
+WITH planes AS (
+    SELECT t, p, list_transform(generate_series(0, 63), d ->
+        ((('0x' || substr(md5('plane:' || CAST(t * 1000 + p AS VARCHAR)
+                              || ':' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+          % 20011) / 10005.5) - 1.0) AS w
+    FROM range(0, 8) tt(t), range(0, 4) pp(p)
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+    SELECT e.vec_id, pl.t AS tbl,
+           SUM(CASE WHEN list_inner_product(e.v, pl.w) >= 0
+                    THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+    FROM e CROSS JOIN planes pl GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bucketed a JOIN bucketed b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_inner_product(x.v, y.v) /
+             (sqrt(list_inner_product(x.v, x.v)) *
+              sqrt(list_inner_product(y.v, y.v))), 4) AS cos
+FROM cand c
+JOIN e x ON x.vec_id = c.id_a
+JOIN e y ON y.vec_id = c.id_b
+WHERE round(list_inner_product(x.v, y.v) /
+            (sqrt(list_inner_product(x.v, x.v)) *
+             sqrt(list_inner_product(y.v, y.v))), 4) >= 0.4
 """,
     # ann_topk: the hyperplanes are md5-derived constants — identical
     # arithmetic to similarity._plane_matrix ((md5 hex[0:8] % 20011) /

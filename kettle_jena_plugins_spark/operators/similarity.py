@@ -252,6 +252,64 @@ def near_dup_pairs_blocked(
     )
 
 
+def near_dup_pairs_lsh_gated(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.98,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs: hyperplane-LSH proposes (pairs sharing a
+    bucket in ANY of n_tables tables), exact rounded cosine verifies — the
+    propose-then-verify pattern (minhash_candidates → jaccard_verify) on
+    embeddings. Recall < 1 by design (pairs colliding in no table are
+    missed); candidates are bucket-bounded so cost scales with near-dup
+    density instead of n². Deterministic md5-derived planes → the DuckDB
+    oracle reproduces the exact candidate set and scores."""
+    b = lsh_buckets_np(df, dim, n_planes, n_tables, id_col, vec_col)
+    b2 = (
+        b.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("table", "t2")
+        .withColumnRenamed("bucket", "k2")
+    )
+    cand = (
+        b.join(
+            b2,
+            (F.col("table") == F.col("t2"))
+            & (F.col("bucket") == F.col("k2"))
+            & (F.col("id") < F.col("id_b")),
+        )
+        .select(F.col("id").alias("id_a"), "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2norm(F.col(vec_col)).alias("na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2norm(F.col(vec_col)).alias("nb"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_dp,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def _plane_weight(p: int, d: int) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1): md5-derived,
     computed driver-side into a plain float literal (planes are constants —

@@ -104,6 +104,28 @@ def test_near_dup_blocked_matches_exact_and_never_collects(spark, monkeypatch):
     assert blocked == exact
 
 
+def test_near_dup_lsh_gated_subset_of_exact(spark):
+    """The gated path must emit a SUBSET of the exact pairs (no false
+    positives — exact verify) with reasonable recall."""
+    from kettle_jena_plugins_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_lsh_gated,
+    )
+
+    em = embeds(spark)
+    exact = {
+        (r["id_a"], r["id_b"]) for r in near_dup_pairs(em, threshold=0.3).collect()
+    }
+    gated = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs_lsh_gated(
+            em, dim=64, threshold=0.3, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert gated <= exact
+    assert len(gated) / max(len(exact), 1) > 0.5
+
+
 def test_near_dup_vectorized_empty_corpus(spark):
     from kettle_jena_plugins_spark.operators.similarity import (
         near_dup_pairs_vectorized,
