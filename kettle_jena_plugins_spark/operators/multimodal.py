@@ -93,10 +93,55 @@ def media_repartition(media: DataFrame, target_bytes: int = 128 << 20) -> DataFr
     return media.repartition(n_parts)
 
 
-def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame index
-    (frame decode itself stubbed behind the codec)."""
-    with_frames = extract_features(media).select("media_id", "kind", "n_frames")
+def fake_probe(payload: bytes | None, kind: str) -> int | None:
+    """Deterministic header-probe stand-in: frame count from container
+    metadata only (same values as fake_decode's n_frames) — a real codec
+    reads the container header here, never decodes frames."""
+    if payload is None:
+        return None
+    return 1 if kind == "image" else 1 + len(payload) % 7
+
+
+def frame_sample(
+    media: DataFrame,
+    every_n: int = 10,
+    probe: Callable[[bytes | None, str], int | None] = fake_probe,
+    use_meta: bool = False,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame index.
+
+    Frame counts come from a HEADER PROBE (container metadata), not a full
+    decode — with a real codec this skips all frame-decode CPU. With
+    use_meta=True the count is read from the JSON sidecar's `n_frames`
+    field instead: a pure column expression, so the parquet scan prunes the
+    payload column entirely (zero bytes of media shipped)."""
+    if use_meta:
+        with_frames = media.select(
+            "media_id",
+            "kind",
+            F.get_json_object("meta", "$.n_frames").cast("int").alias("n_frames"),
+        )
+    else:
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].values,
+                        "kind": pdf["kind"].values,
+                        "n_frames": pd.array(
+                            [
+                                probe(p, k)
+                                for p, k in zip(pdf["payload"], pdf["kind"])
+                            ],
+                            dtype="Int32",
+                        ),
+                    }
+                )
+
+        with_frames = media.select("media_id", "kind", "payload").mapInPandas(
+            run, "media_id long, kind string, n_frames int"
+        )
     return with_frames.select(
         "media_id",
         "kind",

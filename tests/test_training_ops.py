@@ -214,7 +214,56 @@ def test_multimodal_plumbing(spark):
     fs = frame_sample(media, every_n=3)
     assert fs.columns == ["media_id", "kind", "frame_idx"]
     assert fs.count() >= media.count()
+    # the meta-sidecar path must agree with the probe path when the sidecar
+    # carries the frame count — and it never touches the payload column
+    import json as _json
+
+    with_meta = media.withColumn(
+        "meta",
+        F.to_json(
+            F.struct(
+                F.when(F.col("kind") == "image", F.lit(1))
+                .otherwise(1 + F.octet_length("payload") % 7)
+                .alias("n_frames")
+            )
+        ),
+    )
+    fs_meta = frame_sample(with_meta, every_n=3, use_meta=True)
+    assert sorted(map(tuple, fs_meta.collect())) == sorted(
+        map(tuple, fs.collect())
+    )
     assert media_repartition(media, target_bytes=10_000).rdd.getNumPartitions() >= 2
+
+
+def test_frame_sample_meta_path_prunes_payload(spark, tmp_path):
+    """With the frame count in the parquet sidecar, the meta path's scan
+    must not read the payload column at all (column pruning)."""
+    from kettle_jena_plugins_spark.operators.multimodal import (
+        frame_sample,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(docs(spark)).withColumn(
+        "meta",
+        F.to_json(
+            F.struct(
+                F.when(F.col("kind") == "image", F.lit(1))
+                .otherwise(1 + F.octet_length("payload") % 7)
+                .alias("n_frames")
+            )
+        ),
+    )
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    stored = spark.read.parquet(path)
+    fs_meta = frame_sample(stored, every_n=3, use_meta=True)
+    plan = fs_meta._jdf.queryExecution().executedPlan().toString()
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "payload" not in read_schema
+    fs_probe = frame_sample(stored, every_n=3)
+    assert sorted(map(tuple, fs_meta.collect())) == sorted(
+        map(tuple, fs_probe.collect())
+    )
 
 
 def test_exact_dedup_groups(spark):
