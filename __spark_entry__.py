@@ -467,6 +467,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation: language gate + quality floor +
+    exact-dup removal (keep the lowest doc_id per normalized-text group) —
+    the operators composed the way a real corpus-prep job chains them.
+    One narrow profile pass + one dedup shuffle + broadcast-able joins."""
+    from kettle_jena_plugins_spark.operators.dedup import exact_dedup
+    from kettle_jena_plugins_spark.operators.text import text_profile
+
+    d = _docs_with_dups(spark, sf_dir)
+    prof = text_profile(d)
+    survivors = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    return (
+        prof.join(survivors, "doc_id")
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+        .select("doc_id", "n_tokens", "quality", "lang_pred")
+    )
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kettle_jena_plugins_spark.operators.text import text_profile
 
@@ -524,6 +542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "text_profile": q_text_profile,
+    "curation_pipeline": q_curation_pipeline,
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
     "multimodal_features": q_multimodal_features,
@@ -923,6 +942,45 @@ SELECT doc_id,
             WHEN s_es > 0 AND s_es = best THEN 'es'
             ELSE 'und' END AS lang_pred
 FROM derived
+""",
+    "curation_pipeline": f"""
+WITH {_DOCS_DUPS_CTE},
+base AS (
+    SELECT doc_id, text,
+           {_NTOK} AS n_tokens,
+           {_LANG_SCORES}
+    FROM docs2
+),
+derived AS (
+    SELECT doc_id, n_tokens,
+           round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(s_en / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           s_en, s_de, s_fr, s_es,
+           greatest(s_en, s_de, s_fr, s_es) AS best
+    FROM base
+),
+prof AS (
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           round((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000 THEN 0.4 ELSE 0.0 END)
+                 + least(stopword_ratio * 2.0, 0.4)
+                 + (0.2 - least(punct_ratio * 2.0, 0.2)), 6) AS quality,
+           CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+                WHEN s_de > 0 AND s_de = best THEN 'de'
+                WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+                WHEN s_es > 0 AND s_es = best THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM derived
+),
+keep AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM docs2
+    GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+)
+SELECT p.doc_id, p.n_tokens, p.quality, p.lang_pred
+FROM prof p JOIN keep k USING (doc_id)
+WHERE p.lang_pred = 'en' AND p.quality >= 0.5
 """,
     "doc_fingerprint": f"""
 WITH {_shingles_cte(4, "documents")}
