@@ -64,6 +64,53 @@ def q_cdc_lww_state_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_lww_state_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LWW state through the window+row_number formulation (the literal
+    Spark encoding of OtherFieldAction.USE_LAST) — all three formulations
+    (agg / salted two-phase / window) are oracle-proven equivalent."""
+    from kettle_jena_plugins_spark.operators.lww import lww_reduce_window
+
+    ch = change_events(spark, sf_dir)
+    return (
+        lww_reduce_window(ch)
+        .filter(F.col("op") != "D")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            F.col("lsn").alias("last_lsn"),
+        )
+    )
+
+
+def q_cdc_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole .ktr chain as ONE composed plan
+    (EndToEndIT.java:60-92: inject → create model → serialize): change
+    stream → LWW final state → per-row construct → N-TRIPLE lines. Catalyst
+    optimizes the composition as a single query (one shuffle for the LWW,
+    everything else narrow)."""
+    from kettle_jena_plugins_spark.operators.serialize import ntriples_lines
+
+    st = lww_state(change_events(spark, sf_dir)).withColumn(
+        "subject",
+        F.concat(
+            F.lit("ex:conv/"), F.col("conv_id"), F.lit("/"),
+            F.col("turn_idx").cast("string"),
+        ),
+    )
+    return ntriples_lines(
+        st,
+        subject_col="subject",
+        statements={
+            f"{_NS_T}role": "role",
+            f"{_NS_T}text": "text",
+            f"{_NS_T}tool": "tool",
+        },
+    )
+
+
 def q_cdc_final_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final-op reduction per key (del_reinsert fixture shape): how many keys
     end in I/U/D — the pre-MERGE cardinality guarantee (one source row per
@@ -558,6 +605,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_substitution": q_value_substitution,
     "cdc_lww_state": q_cdc_lww_state,
     "cdc_lww_state_salted": q_cdc_lww_state_salted,
+    "cdc_lww_state_window": q_cdc_lww_state_window,
+    "cdc_end_to_end": q_cdc_end_to_end,
     "cdc_final_op_counts": q_cdc_final_op_counts,
     "validate_dead_letter": q_validate_dead_letter,
 }
@@ -1188,6 +1237,27 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
     + """
 SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
 FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+    "cdc_lww_state_window": _LWW_RANKED
+    + """
+SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+    "cdc_end_to_end": _LWW_RANKED
+    + f""",
+st AS (
+    SELECT 'ex:conv/' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS s,
+           role, text, tool
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+SELECT '<' || s || '> <{_NS_T}role> "' || {_ESC("role")} || '" .' AS value
+FROM st WHERE role IS NOT NULL
+UNION ALL
+SELECT '<' || s || '> <{_NS_T}text> "' || {_ESC("text")} || '" .'
+FROM st WHERE text IS NOT NULL
+UNION ALL
+SELECT '<' || s || '> <{_NS_T}tool> "' || {_ESC("tool")} || '" .'
+FROM st WHERE tool IS NOT NULL
 """,
     "cdc_final_op_counts": _LWW_RANKED
     + """
