@@ -188,11 +188,16 @@ class IcebergTarget:
             c for c in reduced.columns if c not in (*MERGE_KEYS, "op", "lsn", "ts")
         ]
         reduced.createOrReplaceTempView("_cdc_batch")
-        self.spark.sql(
-            merge_into_sql(
-                self.table, payload, MERGE_KEYS, hard_delete=self.hard_delete
+        try:
+            self.spark.sql(
+                merge_into_sql(
+                    self.table, payload, MERGE_KEYS, hard_delete=self.hard_delete
+                )
             )
-        )
+        finally:
+            # per-batch temp-view cleanup (the reference's model.close()
+            # resource lifecycle, JenaSerializerStepData.java:60-63)
+            self.spark.catalog.dropTempView("_cdc_batch")
         wm = reduced.groupBy(
             F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).alias("b")
         ).agg(F.max("lsn").alias("l")).collect()
