@@ -58,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("create")
     c.add_argument("--table", required=True)
     c.add_argument("--n-buckets", type=int, default=16)
+    c.add_argument("--mode", choices=("cow", "mor"), default="cow")
 
     s = sub.add_parser("stream")
     s.add_argument("--wal", required=True)
@@ -66,12 +67,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--metrics", default=None)
     s.add_argument("--salted", action="store_true")
     s.add_argument("--max-files-per-trigger", type=int, default=None)
+    s.add_argument("--mode", choices=("cow", "mor"), default="cow")
 
     a = sub.add_parser("apply")
     a.add_argument("--events", required=True)
     a.add_argument("--table", required=True)
     a.add_argument("--batch-id", type=int, required=True)
     a.add_argument("--salted", action="store_true")
+    a.add_argument("--mode", choices=("cow", "mor"), default="cow")
 
     st = sub.add_parser("state")
     st.add_argument("--table", required=True)
@@ -86,6 +89,8 @@ def main(argv: list[str] | None = None) -> int:
     mt = sub.add_parser("maintain")
     mt.add_argument("--table", required=True)
     mt.add_argument("--keep-last", type=int, default=2)
+    mt.add_argument("--compact", action="store_true",
+                    help="resolve multi-layer buckets before expiring")
 
     pl = sub.add_parser("pipeline")
     pl.add_argument("--spec", required=True, help="JSON pipeline spec file")
@@ -102,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
         master=args.master, shuffle_partitions=args.shuffle_partitions
     )
 
+    mode = getattr(args, "mode", "cow")
     if args.cmd == "gen-wal":
         df = gen_change_events(
             spark,
@@ -123,10 +129,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"wal": args.out, "events": df.count()}))
     elif args.cmd == "create":
-        ParquetLakeTarget(spark, args.table, n_buckets=args.n_buckets).create()
-        print(json.dumps({"created": args.table}))
+        ParquetLakeTarget(
+            spark, args.table, n_buckets=args.n_buckets, mode=mode
+        ).create()
+        print(json.dumps({"created": args.table, "mode": mode}))
     elif args.cmd == "stream":
-        tgt = ParquetLakeTarget(spark, args.table)
+        tgt = ParquetLakeTarget(spark, args.table, mode=mode)
         cfg = CDCConfig(salted=args.salted, metrics_path=args.metrics)
         t0 = time.time()
         run_stream(
@@ -139,7 +147,7 @@ def main(argv: list[str] | None = None) -> int:
             "snapshot": tgt.manifest()["version"],
         }))
     elif args.cmd == "apply":
-        tgt = ParquetLakeTarget(spark, args.table)
+        tgt = ParquetLakeTarget(spark, args.table, mode=mode)
         events = spark.read.parquet(args.events)
         res = apply_batch(tgt, events, args.batch_id, CDCConfig(salted=args.salted))
         print(json.dumps(res.__dict__, default=str))
@@ -157,7 +165,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"changed_keys": df.count()}))
     elif args.cmd == "maintain":
         tgt = ParquetLakeTarget(spark, args.table)
-        print(json.dumps(tgt.expire_snapshots(keep_last=args.keep_last)))
+        out = {}
+        if args.compact:
+            out["buckets_compacted"] = tgt.compact()
+        out.update(tgt.expire_snapshots(keep_last=args.keep_last))
+        print(json.dumps(out))
     elif args.cmd == "pipeline":
         from .plans.pipeline import parse, run_pipeline
 
