@@ -19,7 +19,9 @@ processes, with a file barrier so the timed regions overlap, and a
 cross-level state checksum proving both levels produce the identical table.
 
 Run:  python bench_scaling_procs.py [--n-events 32000000] [--shards 16]
-Prints one JSON line and appends to BENCH.md under SCALING_RESULTS.
+Prints one JSON line; record results in BENCH.md manually (see the
+"Process-level (executor-model) attempt" section there for the measured
+outcome and its interpretation).
 """
 
 from __future__ import annotations
@@ -90,25 +92,45 @@ def run_level(k: int, shards: int, wal: str, repeats: int) -> dict:
         os.makedirs(barrier)
         per = shards // k
         procs = []
+        errfiles = []
         for wid in range(k):
             my = list(range(wid * per, (wid + 1) * per))
+            ef = open(os.path.join(d, f"stderr-{wid}.log"), "w")
+            errfiles.append(ef)
             procs.append(
                 subprocess.Popen(
                     [sys.executable, "-c", WORKER, str(wid), json.dumps(my),
                      wal, d, barrier, str(k)],
-                    stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                    stdout=subprocess.PIPE, stderr=ef,
                     text=True,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
             )
         while len(os.listdir(barrier)) < k:
+            # a worker that dies before reaching the barrier must fail the
+            # run with its stderr, not hang the coordinator forever
+            for wid, p in enumerate(procs):
+                if p.poll() is not None and p.returncode != 0:
+                    errfiles[wid].flush()
+                    tail = open(
+                        os.path.join(d, f"stderr-{wid}.log")
+                    ).read()[-2000:]
+                    raise RuntimeError(
+                        f"worker {wid} died before barrier "
+                        f"(rc={p.returncode}):\n{tail}"
+                    )
             time.sleep(0.1)
         open(os.path.join(barrier, "GO"), "w").close()
         t0 = time.time()
         outs = []
-        for p in procs:
+        for wid, p in enumerate(procs):
             out, _ = p.communicate()
-            assert p.returncode == 0, f"worker failed rc={p.returncode}"
+            errfiles[wid].close()
+            if p.returncode != 0:
+                tail = open(os.path.join(d, f"stderr-{wid}.log")).read()[-2000:]
+                raise RuntimeError(
+                    f"worker {wid} failed rc={p.returncode}:\n{tail}"
+                )
             outs.append(json.loads(
                 [l for l in out.splitlines() if l.startswith("{")][-1]
             ))

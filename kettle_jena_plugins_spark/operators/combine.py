@@ -79,22 +79,11 @@ def combine_columns(
                 # the reference logs the absent column once per row (:241)
                 warn_cols.append(F.lit(1))
             continue  # IGNORE / WARN: column skipped
-        val = F.col(cf.name)
-        if cf.if_null is Policy.ERROR:
-            val = F.when(
-                val.isNull(),
-                F.raise_error(
-                    F.lit(
-                        f"Could not combine model, field: {cf.name}, "
-                        "value is null!"
-                    )
-                ),
-            ).otherwise(val)
-        elif cf.if_null is Policy.WARN:
+        if cf.if_null is Policy.WARN:
             warn_cols.append(
                 F.when(F.col(cf.name).isNull(), F.lit(1)).otherwise(F.lit(0))
             )
-        cols.append(val)
+        cols.append(F.col(cf.name))
     if not cols:
         combined = F.lit(None)
     elif set_valued:
@@ -103,9 +92,28 @@ def combine_columns(
             combined = F.array_union(combined, c)
     else:
         combined = F.coalesce(*cols) if len(cols) > 1 else cols[0]
+    # null-ERROR must fire for ANY null in an ERROR column (the reference's
+    # getModels throws per row, :264) — a raise embedded in the coalesce
+    # would be skipped whenever an earlier column already supplied the
+    # value, so guard the final expression instead. Wrapped in reverse so
+    # the FIRST declared ERROR column's message wins (reference iteration
+    # order).
+    for cf in reversed([f for f in fields if f.name in df.columns]):
+        if cf.if_null is Policy.ERROR:
+            combined = F.when(
+                F.col(cf.name).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"Could not combine model, field: {cf.name}, "
+                        "value is null!"
+                    )
+                ),
+            ).otherwise(combined)
     out = df.withColumn(target_col, combined)
-    if observe_warnings and warn_cols:
-        total = warn_cols[0]
+    if observe_warnings:
+        # no WARN columns → still attach a zero metric when the caller gave
+        # an Observation, or Observation.get would block forever
+        total = warn_cols[0] if warn_cols else F.lit(0)
         for w in warn_cols[1:]:
             total = total + w
         agg = F.sum(total).alias("n_warn")
@@ -113,7 +121,7 @@ def combine_columns(
 
         if isinstance(observe_warnings, Observation):
             out = out.observe(observe_warnings, agg)
-        else:
+        elif warn_cols:
             out = out.observe("combine_warnings", agg)
     if remove_sources:
         out = out.drop(*[cf.name for cf in fields if cf.name != target_col])

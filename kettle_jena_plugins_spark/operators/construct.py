@@ -159,8 +159,10 @@ def construct_doc(
         F.lit("<"), subject, F.lit("> "), F.concat_ws("; ", *stmt_cols)
     )
     out = df.withColumn(target_col, doc).withColumn(f"{target_col}_canon", canon)
-    if observe_warnings and warn_cols:
-        total = warn_cols[0]
+    if observe_warnings:
+        # no WARN mappings → still attach a zero metric when the caller gave
+        # an Observation, or Observation.get would block forever
+        total = warn_cols[0] if warn_cols else F.lit(0)
         for w in warn_cols[1:]:
             total = total + w
         agg = F.sum(total).alias("n_warn")
@@ -168,7 +170,7 @@ def construct_doc(
 
         if isinstance(observe_warnings, Observation):
             out = out.observe(observe_warnings, agg)
-        else:
+        elif warn_cols:
             out = out.observe("construct_null_warnings", agg)
     if remove_mapped:
         out = out.drop(*_consumed_fields(mappings))

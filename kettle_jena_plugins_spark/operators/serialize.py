@@ -83,9 +83,24 @@ def object_term(spec: StatementSpec | str) -> Column:
                 F.lit('"'), escape_literal(src.cast("string")), F.lit(suffix)
             ),
         )
-    # non-string XSD types: canonical lexical forms (typed_literals) contain
-    # no escapable characters by construction
-    return to_typed_literal(src, spec.datatype)
+    # non-string XSD types: slice the lexical form out of the rendered
+    # literal and ECHAR-escape it — numeric/temporal canonical forms never
+    # contain escapables (no-op), but token/normalizedString/anyURI and the
+    # rdf: pair pass user text through (quotes, backslashes, newlines in
+    # HTML/XMLLiteral would otherwise yield unparseable triples)
+    from ..functions.typed_literals import RDF_NS
+
+    dt_ns = RDF_NS if spec.datatype in ("HTML", "XMLLiteral") else XSD
+    local = (
+        "normalizedString" if spec.datatype == "normalizeString" else spec.datatype
+    )
+    suffix = f'"^^<{dt_ns}{local}>'
+    rendered = to_typed_literal(src, spec.datatype)
+    lex = rendered.substr(F.lit(2), F.length(rendered) - F.lit(len(suffix) + 1))
+    return F.when(
+        rendered.isNotNull(),
+        F.concat(F.lit('"'), escape_literal(lex), F.lit(suffix)),
+    )
 
 
 def ntriples_lines(

@@ -67,14 +67,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--metrics", default=None)
     s.add_argument("--salted", action="store_true")
     s.add_argument("--max-files-per-trigger", type=int, default=None)
-    s.add_argument("--mode", choices=("cow", "mor"), default="cow")
+    s.add_argument("--mode", choices=("cow", "mor", "auto"), default="auto",
+                   help="auto = the mode recorded in the table's manifest")
 
     a = sub.add_parser("apply")
     a.add_argument("--events", required=True)
     a.add_argument("--table", required=True)
     a.add_argument("--batch-id", type=int, required=True)
     a.add_argument("--salted", action="store_true")
-    a.add_argument("--mode", choices=("cow", "mor"), default="cow")
+    a.add_argument("--mode", choices=("cow", "mor", "auto"), default="auto",
+                   help="auto = the mode recorded in the table's manifest")
 
     st = sub.add_parser("state")
     st.add_argument("--table", required=True)
@@ -107,7 +109,8 @@ def main(argv: list[str] | None = None) -> int:
         master=args.master, shuffle_partitions=args.shuffle_partitions
     )
 
-    mode = getattr(args, "mode", "cow")
+    mode = getattr(args, "mode", "auto")
+    mode = None if mode == "auto" else mode  # None → adopt manifest mode
     if args.cmd == "gen-wal":
         df = gen_change_events(
             spark,
@@ -129,10 +132,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"wal": args.out, "events": df.count()}))
     elif args.cmd == "create":
-        ParquetLakeTarget(
-            spark, args.table, n_buckets=args.n_buckets, mode=mode
-        ).create()
-        print(json.dumps({"created": args.table, "mode": mode}))
+        tgt = ParquetLakeTarget(
+            spark, args.table, n_buckets=args.n_buckets, mode=mode or "cow"
+        )
+        tgt.create()
+        print(json.dumps({"created": args.table, "mode": tgt.mode}))
     elif args.cmd == "stream":
         tgt = ParquetLakeTarget(spark, args.table, mode=mode)
         cfg = CDCConfig(salted=args.salted, metrics_path=args.metrics)
@@ -152,19 +156,19 @@ def main(argv: list[str] | None = None) -> int:
         res = apply_batch(tgt, events, args.batch_id, CDCConfig(salted=args.salted))
         print(json.dumps(res.__dict__, default=str))
     elif args.cmd == "state":
-        tgt = ParquetLakeTarget(spark, args.table)
+        tgt = ParquetLakeTarget(spark, args.table, mode=None)
         df = tgt.read().orderBy("conv_id", "turn_idx")
         for r in df.limit(args.limit).collect():
             print(json.dumps(r.asDict(), default=str))
         print(json.dumps({"rows": df.count()}))
     elif args.cmd == "changes":
-        tgt = ParquetLakeTarget(spark, args.table)
+        tgt = ParquetLakeTarget(spark, args.table, mode=None)
         df = tgt.changes_between(args.from_version, args.to_version)
         for r in df.limit(args.limit).collect():
             print(json.dumps(r.asDict(), default=str))
         print(json.dumps({"changed_keys": df.count()}))
     elif args.cmd == "maintain":
-        tgt = ParquetLakeTarget(spark, args.table)
+        tgt = ParquetLakeTarget(spark, args.table, mode=None)
         out = {}
         if args.compact:
             out["buckets_compacted"] = tgt.compact()

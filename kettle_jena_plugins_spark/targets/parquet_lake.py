@@ -86,16 +86,22 @@ class ParquetLakeTarget:
         spark: SparkSession,
         root: str,
         n_buckets: int = 16,
-        mode: str = "cow",
+        mode: str | None = "cow",
         compact_threshold: int = 8,
     ):
-        assert mode in ("cow", "mor")
+        """mode=None → adopt the mode recorded in the table's manifest at
+        create time (falls back to "cow" for a not-yet-created table) —
+        re-opening an existing table should never silently flip its write
+        mode because the caller forgot to repeat the flag."""
+        assert mode in ("cow", "mor", None)
         self.spark = spark
         self.root = root.rstrip("/")
         self.n_buckets = n_buckets
-        self.mode = mode
         self.compact_threshold = compact_threshold
         self._snap_dir = os.path.join(self.root, "_snapshots")
+        if mode is None:
+            mode = self.manifest().get("mode", "cow") if self.exists() else "cow"
+        self.mode = mode
 
     # ---------------------------------------------------------------- meta
 
@@ -323,18 +329,35 @@ class ParquetLakeTarget:
         with open(self._current_path()) as f:
             current = int(f.read().strip())
         keep = set(versions[-keep_last:]) | {current}
+        # liveness by REALPATH: manifests store paths as spelled at write
+        # time; a different root spelling (relative vs absolute, moved
+        # table) must not make live files look unreferenced
         referenced: set[str] = set()
         for v in keep:
             m = self.manifest(v)
             for entry in m.get("buckets", {}).values():
                 for layer in entry["layers"]:
-                    referenced.update(layer["files"])
-        removed_files = 0
+                    referenced.update(os.path.realpath(f) for f in layer["files"])
         data_dir = os.path.join(self.root, "data")
+        walked = {
+            os.path.realpath(os.path.join(dp, f))
+            for dp, _dn, fns in os.walk(data_dir)
+            for f in fns
+            if f.endswith(".parquet")
+        }
+        if referenced and not (referenced & walked):
+            # a moved/renamed table (manifest paths point elsewhere): deleting
+            # "unreferenced" files here would destroy every live file
+            raise RuntimeError(
+                "expire_snapshots: no manifest-referenced file found under "
+                f"{data_dir} — table moved or manifests stale; refusing to "
+                "delete anything"
+            )
+        removed_files = 0
         for dirpath, _dirnames, filenames in os.walk(data_dir, topdown=False):
             for fname in filenames:
                 p = os.path.join(dirpath, fname)
-                if fname.endswith(".parquet") and p not in referenced:
+                if fname.endswith(".parquet") and os.path.realpath(p) not in referenced:
                     os.remove(p)
                     removed_files += 1
                 elif fname in ("_SUCCESS",) or fname.endswith(".crc"):

@@ -118,3 +118,28 @@ def test_warn_null_cols_in_batch_metrics(spark, tmp_path):
     assert res.extra["warn_nulls"] == expected
     rec = json.loads(open(metrics).read().splitlines()[-1])
     assert rec["warn_nulls"] == expected
+
+
+def test_null_value_error_fires_on_non_first_column(spark):
+    """ERROR must fire even when coalesce short-circuits at an earlier
+    non-null column (the reference throws for ANY ERROR-null column)."""
+    out = combine_columns(
+        df(spark),
+        [CombineField("c1"), CombineField("c2", if_null=Policy.ERROR)],
+        "m",
+        remove_sources=False,
+    )
+    with pytest.raises(Exception, match="field: c2, value is null"):
+        out.collect()
+
+
+def test_observation_with_no_warn_columns_yields_zero(spark):
+    """An Observation passed without any WARN policy must still resolve
+    (to zero) instead of blocking forever."""
+    obs = Observation()
+    out = combine_columns(
+        df(spark), ["c1", "c2"], "m", remove_sources=False,
+        observe_warnings=obs,
+    )
+    out.collect()
+    assert obs.get["n_warn"] == 0

@@ -167,3 +167,25 @@ def test_serialize_docs_turtle(spark, tmp_path):
         '<s2> t:v "yo" .',
     }
     assert content[0].startswith("@prefix")  # header rides first in the union
+
+
+def test_typed_literal_lexical_escaping(spark):
+    """token/HTML lexical forms pass user text through — quotes, backslashes
+    and newlines must be ECHAR-escaped inside the typed literal."""
+    d = df(spark, [("s1", 'to"k\\en\nx', 1)])
+    out = lines(
+        ntriples_lines(
+            d,
+            "subject",
+            {
+                f"{NS}tok": StatementSpec("v", datatype="token"),
+                f"{NS}html": StatementSpec("v", datatype="HTML"),
+            },
+        )
+    )
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    # token collapses the newline to a space BEFORE escaping
+    assert f'<s1> <{NS}tok> "to\\"k\\\\en x"^^<{xsd}token> .' in out
+    # HTML keeps the raw text but escapes it
+    assert f'<s1> <{NS}html> "to\\"k\\\\en\\nx"^^<{rdf}HTML> .' in out

@@ -111,3 +111,36 @@ def test_expire_snapshots_keeps_current_readable(spark, tmp_path):
         3,
     )
     assert state(tgt.read())[("c9", 0)] == "post-expire"
+
+
+def test_expire_snapshots_path_spelling_safe(spark, tmp_path):
+    """A differently-spelled (but same) table root must not make live files
+    look unreferenced; a genuinely moved table must refuse to delete."""
+    import os
+
+    tgt, _versions = make(spark, tmp_path, mode="cow")
+    before = state(tgt.read())
+    os.makedirs(str(tmp_path / "x"))
+    respelled = ParquetLakeTarget(
+        spark, str(tmp_path / "x" / ".." / "tbl"), n_buckets=4, mode="cow"
+    )
+    respelled.expire_snapshots(keep_last=1)
+    assert state(tgt.read()) == before
+
+    # moved table: manifests reference the old location → refuse
+    import shutil
+
+    moved_root = str(tmp_path / "moved")
+    shutil.copytree(str(tmp_path / "tbl"), moved_root)
+    moved = ParquetLakeTarget(spark, moved_root, n_buckets=4, mode="cow")
+    with pytest.raises(RuntimeError, match="refusing to delete"):
+        moved.expire_snapshots(keep_last=1)
+
+
+def test_mode_adopted_from_manifest(spark, tmp_path):
+    t1 = ParquetLakeTarget(spark, str(tmp_path / "m"), n_buckets=2, mode="mor")
+    t1.create()
+    reopened = ParquetLakeTarget(spark, str(tmp_path / "m"), mode=None)
+    assert reopened.mode == "mor"
+    fresh = ParquetLakeTarget(spark, str(tmp_path / "nope"), mode=None)
+    assert fresh.mode == "cow"
