@@ -130,6 +130,48 @@ def from_json(txt: str) -> list[Step]:
     return parse(txt)
 
 
+def run_pipeline_stream(
+    spark,
+    events_dir: str,
+    steps: list[Step],
+    checkpoint_dir: str,
+    sink_path: str | None = None,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming execution of a declarative pipeline: tail a directory of
+    event parquet files and run the SAME step list per micro-batch via
+    foreachBatch (the reference pumps rows through its step graph; here
+    each micro-batch flows through the composed Catalyst plan). A trailing
+    serialize step writes per-batch outputs under
+    `{sink_path}/batch={id}`; availableNow drains and stops, and rerunning
+    with the same checkpoint resumes after the last committed offset."""
+    from ..model import CHANGE_EVENT_SCHEMA
+
+    reader = spark.readStream.schema(schema or CHANGE_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir)
+
+    def _sink(df: DataFrame, batch_id: int) -> None:
+        run_pipeline(
+            df,
+            steps,
+            sink_path=(
+                f"{sink_path}/batch={batch_id}" if sink_path else None
+            ),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_pipeline(
     df: DataFrame, steps: list[Step], sink_path: str | None = None
 ) -> DataFrame:

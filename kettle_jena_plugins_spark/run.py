@@ -103,6 +103,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="k=v substitution variable (repeatable)")
     pl.add_argument("--show", type=int, default=5,
                     help="rows of the result to print (0 = none)")
+    pl.add_argument("--stream", action="store_true",
+                    help="tail --input as a WAL dir, running the spec per "
+                    "micro-batch (requires --checkpoint)")
+    pl.add_argument("--checkpoint", default=None)
 
     args = ap.parse_args(argv)
     spark = get_spark(
@@ -180,6 +184,20 @@ def main(argv: list[str] | None = None) -> int:
         variables = dict(v.split("=", 1) for v in args.var)
         with open(args.spec) as f:
             steps = parse(f.read(), variables=variables)
+        if args.stream:
+            from .plans.pipeline import run_pipeline_stream
+
+            assert args.checkpoint, "--stream requires --checkpoint"
+            t0 = time.time()
+            run_pipeline_stream(
+                spark, args.input, steps, args.checkpoint,
+                sink_path=args.sink,
+            )
+            print(json.dumps({
+                "steps": len(steps), "streamed": True,
+                "wall_sec": round(time.time() - t0, 2),
+            }))
+            return 0
         if args.input.startswith("changes:"):
             from .sources.changes import change_events
 

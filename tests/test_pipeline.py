@@ -239,3 +239,45 @@ def test_serialize_turtle_from_spec(spark, tmp_path):
 def test_bad_serialize_fmt_rejected():
     with pytest.raises(PipelineConfigError, match="bad serialize fmt"):
         parse({"steps": [{"type": "serialize", "fmt": "n3x"}]})
+
+
+def test_streaming_pipeline_per_batch_outputs(spark, tmp_path):
+    """The same declarative spec runs per micro-batch over a WAL stream,
+    writing one serialize output per batch; rerunning with the same
+    checkpoint is a no-op (offsets committed)."""
+    import glob
+
+    from kettle_jena_plugins_spark.datagen import gen_change_events
+    from kettle_jena_plugins_spark.plans.pipeline import run_pipeline_stream
+
+    wal = str(tmp_path / "wal")
+    gen_change_events(spark, 600, n_convs=20).repartitionByRange(
+        3, "lsn"
+    ).write.parquet(wal)
+    steps = parse(
+        {
+            "steps": [
+                {"type": "filter", "condition": "op <> 'D'"},
+                {
+                    "type": "construct",
+                    "uri_prefix": "ex:conv/",
+                    "uri_fields": ["conv_id", "turn_idx"],
+                    "mappings": [{"field": "text", "property": "t:text"}],
+                    "namespaces": {"t": "http://example.org/transcript#"},
+                },
+                {"type": "serialize", "fmt": "canon", "subject_col": "doc_canon"},
+            ]
+        }
+    )
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_pipeline_stream(
+        spark, wal, steps, ckpt, sink_path=sink, max_files_per_trigger=1
+    )
+    batch_dirs = sorted(glob.glob(f"{sink}/batch=*"))
+    assert len(batch_dirs) == 3
+    total = sum(spark.read.text(b).count() for b in batch_dirs)
+    assert total == spark.read.parquet(wal).filter("op <> 'D'").count()
+    # resume: nothing new to process → no new batch dirs
+    run_pipeline_stream(spark, wal, steps, ckpt, sink_path=sink)
+    assert sorted(glob.glob(f"{sink}/batch=*")) == batch_dirs
