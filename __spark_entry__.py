@@ -646,10 +646,11 @@ def _ESC(x: str) -> str:
 
 
 def _XESC(x: str) -> str:
-    """DuckDB mirror of serialize.xml_escape (& first, then < and >)."""
+    """DuckDB mirror of serialize.xml_escape (& first, then <, >, and
+    newline/CR as numeric character references)."""
     return (
-        f"replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'), "
-        "'>', '&gt;')"
+        f"replace(replace(replace(replace(replace({x}, '&', '&amp;'), "
+        "'<', '&lt;'), '>', '&gt;'), chr(10), '&#10;'), chr(13), '&#13;')"
     )
 
 # shared oracle CTE fragments (DuckDB dialect) --------------------------------

@@ -176,10 +176,15 @@ def turtle_lines(
 
 
 def xml_escape(col: Column) -> Column:
-    """XML element-content escaping: & first, then < and >."""
+    """XML element-content escaping: & first, then < and >; newlines and
+    carriage returns become numeric character references (legal XML that
+    preserves the value) so the line-oriented writer emits exactly one
+    well-formed line per row."""
     c = F.replace(col, F.lit("&"), F.lit("&amp;"))
     c = F.replace(c, F.lit("<"), F.lit("&lt;"))
-    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    c = F.replace(c, F.lit("\n"), F.lit("&#10;"))
+    return F.replace(c, F.lit("\r"), F.lit("&#13;"))
 
 
 def xml_escape_attr(col: Column) -> Column:

@@ -189,3 +189,41 @@ def test_typed_literal_lexical_escaping(spark):
     assert f'<s1> <{NS}tok> "to\\"k\\\\en x"^^<{xsd}token> .' in out
     # HTML keeps the raw text but escapes it
     assert f'<s1> <{NS}html> "to\\"k\\\\en\\nx"^^<{rdf}HTML> .' in out
+
+
+def test_escaping_invariants_adversarial_corpus(spark):
+    """Seeded adversarial corpus (quotes, backslashes, control chars, XML
+    metachars, unicode) through all three line formats: every emitted line
+    must be single-line, and N-Triples/Turtle literals must contain no raw
+    quote/backslash outside the delimiters (parseability invariants)."""
+    import random
+    import re
+
+    from kettle_jena_plugins_spark.operators.serialize import rdfxml_rows
+
+    rng = random.Random(7)
+    alphabet = list('abc"\\\n\r\t<>&\'é☃') + ["\\n", '""', "\\\\"]
+    rows = [
+        (f"s{i}", "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12))), i)
+        for i in range(200)
+    ]
+    d = df(spark, rows)
+    nt = lines(ntriples_lines(d, "subject", {f"{NS}v": "v"}))
+    tt = lines(turtle_lines(d, "subject", {f"{NS}v": "v"}, {"t": NS}))
+    xml = lines(rdfxml_rows(d, "subject", {f"{NS}v": "v"}, {"t": NS}))
+    for line in nt + tt + xml:
+        assert "\n" not in line and "\r" not in line
+    pat = re.compile(r'^<[^>]*> \S+ "((?:[^"\\]|\\.)*)" \.$')
+    for line in nt:
+        assert pat.match(line), f"unparseable N-Triples line: {line!r}"
+    for line in tt:
+        if line.startswith("@prefix"):
+            continue
+        assert pat.match(line), f"unparseable Turtle line: {line!r}"
+    # XML body: raw < > & must not appear inside element content
+    for line in xml:
+        if "Description" not in line:
+            continue
+        for content in re.findall(r"<t:v>(.*?)</t:v>", line):
+            assert "<" not in content and ">" not in content
+            assert not re.search(r"&(?!(amp|lt|gt|quot|#10|#13);)", content)
