@@ -546,6 +546,58 @@ def lsh_buckets_np(
     )
 
 
+def lsh_buckets_np_multiprobe(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    probe_bits: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe bucket assignment (query side): besides the base bucket,
+    emit per table the buckets reached by flipping each of the
+    `probe_bits` LOWEST-MARGIN hyperplane signs — the planes the vector
+    sits closest to are the likeliest to disagree with a true neighbor's
+    signs. Raises recall without adding hash tables (each extra table costs
+    a full corpus index copy; extra probes cost only query-side candidate
+    lookups)."""
+    import numpy as np
+    import pandas as pd
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        _plane_matrix(dim, n_planes, n_tables)
+    )
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    def assign(batches):
+        w = bc.value
+        for b in batches:
+            v = np.vstack(b[vec_col].to_numpy()).astype("float64")
+            margins = np.einsum("nd,tpd->ntp", v, w)  # (n, tables, planes)
+            base = ((margins >= 0) * weights).sum(axis=2)  # (n, tables)
+            n = len(b)
+            ids, tables, buckets = [], [], []
+            order = np.argsort(np.abs(margins), axis=2)  # per (n, t)
+            for i in range(n):
+                for t in range(n_tables):
+                    ids.append(b[id_col].iat[i])
+                    tables.append(t)
+                    buckets.append(int(base[i, t]))
+                    for j in range(min(probe_bits, n_planes)):
+                        flip = int(order[i, t, j])
+                        ids.append(b[id_col].iat[i])
+                        tables.append(t)
+                        buckets.append(int(base[i, t]) ^ (1 << flip))
+            yield pd.DataFrame(
+                {"id": ids, "table": tables, "bucket": buckets}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, schema="id long, table int, bucket long"
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -553,6 +605,7 @@ def ann_topk(
     k: int = 5,
     n_planes: int = 6,
     n_tables: int = 4,
+    probe_bits: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -564,9 +617,17 @@ def ann_topk(
 
     Bucket assignment is the numpy path (lsh_buckets_np); candidate ids then
     re-join their vectors (broadcast on the query side), so vectors never
-    ride through the bucket explode."""
+    ride through the bucket explode. probe_bits > 0 turns on query-side
+    multi-probe (lsh_buckets_np_multiprobe): recall of more tables at the
+    index cost of fewer."""
     cb = lsh_buckets_np(corpus, dim, n_planes, n_tables, id_col, vec_col)
-    qb = lsh_buckets_np(queries, dim, n_planes, n_tables, id_col, vec_col)
+    qb = (
+        lsh_buckets_np_multiprobe(
+            queries, dim, n_planes, n_tables, probe_bits, id_col, vec_col
+        )
+        if probe_bits > 0
+        else lsh_buckets_np(queries, dim, n_planes, n_tables, id_col, vec_col)
+    )
     cand = (
         cb.join(
             F.broadcast(qb.withColumnRenamed("id", "query_id")),

@@ -279,3 +279,35 @@ def test_exact_dedup_groups(spark):
     assert out.filter(F.col("n_dups") == 2).count() == 10
     keeps = out.filter(F.col("n_dups") == 2).select("keep_id").collect()
     assert all(r["keep_id"] < 10 for r in keeps)  # keeps the lowest id
+
+
+def test_ann_multiprobe_improves_recall(spark):
+    """Query-side multi-probe must recover strictly more (or equal) true
+    neighbors than single-probe at the same table count, and never hurt."""
+    from kettle_jena_plugins_spark.operators.similarity import (
+        ann_topk,
+        brute_force_topk,
+    )
+
+    em = embeds(spark).cache()
+    q = em.filter(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(em, q, k=5).collect()
+    }
+    base = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk(em, q, dim=64, k=5, n_planes=4, n_tables=2).collect()
+    }
+    probed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk(
+            em, q, dim=64, k=5, n_planes=4, n_tables=2, probe_bits=2
+        ).collect()
+    }
+    em.unpersist()
+    r_base = len(exact & base) / len(exact)
+    r_probe = len(exact & probed) / len(exact)
+    assert r_probe >= r_base
+    # at only 2 tables the probes must add real recall on random vectors
+    assert r_probe > r_base + 0.05, (r_base, r_probe)
