@@ -260,6 +260,38 @@ def q_construct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lsn", "doc_canon")
 
 
+def q_construct_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed construct mappings — DbToJenaMapping's rdfType/language carried
+    on the construct mapping itself (JenaModelStepMeta.java:110-135, applied
+    JenaModelStep.java:333-345, typed literal :385-392): language-tagged
+    role, xsd:integer turn, xsd:dateTime ts render as full literal terms
+    inside BOTH doc_canon and the doc struct, so datatypes survive a
+    construct → merge → serialize chain."""
+    from kettle_jena_plugins_spark.operators.construct import (
+        PropertyMapping,
+        construct_doc,
+    )
+
+    ch = change_events(spark, sf_dir)
+    ns = {"t": "http://example.org/transcript#"}
+    out = construct_doc(
+        ch,
+        uri_prefix="ex:conv/",
+        uri_fields=["conv_id", "turn_idx"],
+        mappings=[
+            PropertyMapping("role", "t:role", lang="en"),
+            PropertyMapping("text", "t:text"),
+            PropertyMapping("ts", "t:ts", datatype="dateTime"),
+            PropertyMapping("turn_idx", "t:turn", datatype="integer"),
+        ],
+        namespaces=ns,
+    )
+    # typed_turn: the struct field itself carries the rendered term
+    return out.select(
+        "lsn", "doc_canon", F.col("doc.t_turn").alias("typed_turn")
+    )
+
+
 def _subjected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_events(spark, sf_dir).withColumn(
         "subject",
@@ -598,6 +630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "combine_coalesce": q_combine_coalesce,
     "construct_doc": q_construct_doc,
     "construct_nested": q_construct_nested,
+    "construct_typed": q_construct_typed,
     "serialize_ntriples": q_serialize_ntriples,
     "serialize_turtle": q_serialize_turtle,
     "serialize_rdfxml": q_serialize_rdfxml,
@@ -1120,6 +1153,24 @@ SELECT lsn,
            ) || ']',
            CASE WHEN text IS NOT NULL THEN '{_NS_T}text=' || text END
        ) AS doc_canon
+FROM changes
+""",
+    "construct_typed": f"""
+WITH {CHANGES_ORACLE_CTE}
+SELECT lsn,
+       '<ex:conv/' || conv_id || '/' || CAST(turn_idx AS VARCHAR) || '> ' ||
+       concat_ws('; ',
+           CASE WHEN role IS NOT NULL
+                THEN '{_NS_T}role="' || {_ESC("role")} || '"@en' END,
+           CASE WHEN text IS NOT NULL THEN '{_NS_T}text=' || text END,
+           CASE WHEN ts IS NOT NULL
+                THEN '{_NS_T}ts="' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+                     || '"^^<{_XSD}dateTime>' END,
+           CASE WHEN turn_idx IS NOT NULL
+                THEN '{_NS_T}turn="' || CAST(turn_idx AS VARCHAR)
+                     || '"^^<{_XSD}integer>' END
+       ) AS doc_canon,
+       '"' || CAST(turn_idx AS VARCHAR) || '"^^<{_XSD}integer>' AS typed_turn
 FROM changes
 """,
     "serialize_ntriples": f"""

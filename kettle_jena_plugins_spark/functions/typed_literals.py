@@ -51,7 +51,9 @@ def xsd_integer(col: Column) -> Column:
 
 
 def xsd_decimal(col: Column, scale: int = 6) -> Column:
-    return _typed(F.format_number(col.try_cast("double"), scale), "decimal")
+    # decimal cast (not format_number): grouping commas are invalid in an
+    # xsd:decimal lexical form, and a parser would reject "1,234.50"
+    return _typed(col.try_cast(f"decimal(38,{scale})").cast("string"), "decimal")
 
 
 def xsd_double(col: Column) -> Column:

@@ -50,13 +50,39 @@ class PropertyMapping:
     JenaModelStepMeta.java:241-261): `field` is unused, the children are
     applied recursively and attached under `property`. Children may
     themselves carry children (arbitrary nesting depth, as in the
-    reference's recursive addResourceProperties)."""
+    reference's recursive addResourceProperties).
+
+    `datatype`/`lang` mirror DbToJenaMapping's rdfType/language
+    (JenaModelStepMeta.java:110-135, applied JenaModelStep.java:333-345,
+    typed literal created :385-392): a typed mapping renders its statement
+    value as the full literal term (`"lex"^^<dt>` / `"lex"@lang`, lexical
+    form ECHAR-escaped) in BOTH the doc struct field and the canonical
+    string, so datatype/language fidelity survives a construct →
+    group-merge → serialize chain (the serializer consumes these via
+    StatementSpec(prerendered=True)). A value that fails the datatype's
+    lexical/range gate becomes null and routes through `if_null` like a
+    null source field."""
 
     field: str | None  # source column; None for blank-node substructures
     property: str  # property name, may be a QName
     skip: bool = False  # JenaModelStep.java:294-296
     if_null: Policy = Policy.IGNORE  # drop / warn+drop / raise on null
     children: tuple["PropertyMapping", ...] = dc_field(default=())
+    datatype: str | None = None  # XSD local name (typed_literals.CONVERTERS)
+    lang: str | None = None  # language tag → rdf:langString
+
+    def __post_init__(self):
+        if self.datatype and self.lang:
+            raise ValueError(
+                f"PropertyMapping {self.property!r}: datatype and lang are "
+                "exclusive (a literal is typed OR language-tagged, "
+                "JenaModelStep.java:333-345)"
+            )
+        if self.children and (self.datatype or self.lang):
+            raise ValueError(
+                f"PropertyMapping {self.property!r}: a blank-node "
+                "substructure cannot carry datatype/lang"
+            )
 
 
 def _build(
@@ -89,7 +115,18 @@ def _build(
             struct_fields.append(F.struct(*c_fields).alias(alias))
             warn_cols.extend(c_warns)
             continue
-        val = F.col(mp.field).cast("string")
+        if mp.datatype or mp.lang:
+            # typed/language-tagged mapping: render the FULL literal term
+            # (escaped lexical form + ^^<dt> / @lang) so the type survives
+            # downstream merge/serialize steps; gate failures → null,
+            # routed by if_null below exactly like a null source
+            from .serialize import StatementSpec, object_term
+
+            val = object_term(
+                StatementSpec(mp.field, datatype=mp.datatype, lang=mp.lang)
+            )
+        else:
+            val = F.col(mp.field).cast("string")
         if mp.if_null is Policy.ERROR:
             # per-row closeAndThrow (JenaModelStep.java:329) → expression-
             # level failure at execution time
@@ -114,7 +151,11 @@ def _build(
         stmt_cols.append(
             F.when(val.isNotNull(), F.concat(F.lit(prop + "="), val))
         )
-        struct_fields.append(F.col(mp.field).alias(alias))
+        # typed mappings carry the rendered term into the struct too —
+        # that's what keeps datatype/lang through group-merge/serialize
+        struct_fields.append(
+            (val if (mp.datatype or mp.lang) else F.col(mp.field)).alias(alias)
+        )
     return stmt_cols, struct_fields, warn_cols
 
 

@@ -44,10 +44,19 @@ class StatementSpec:
     column: str
     datatype: str | None = None  # XSD local name (typed_literals.CONVERTERS)
     lang: str | None = None
+    # column already holds a FULL rendered literal term ("lex"^^<dt> /
+    # "lex"@lang, escaped) — produced upstream by a typed PropertyMapping
+    # (construct.py); emitted as-is, never re-escaped/re-quoted
+    prerendered: bool = False
 
     def __post_init__(self):
         if self.datatype and self.lang:
             raise ValueError("StatementSpec: datatype and lang are exclusive")
+        if self.prerendered and (self.datatype or self.lang):
+            raise ValueError(
+                "StatementSpec: prerendered terms already carry their "
+                "datatype/lang — don't set both"
+            )
 
 
 def escape_literal(col: Column) -> Column:
@@ -66,6 +75,8 @@ def object_term(spec: StatementSpec | str) -> Column:
     if isinstance(spec, str):
         spec = StatementSpec(spec)
     src = F.col(spec.column)
+    if spec.prerendered:
+        return src
     if spec.lang:
         return F.when(
             src.isNotNull(),
@@ -217,6 +228,11 @@ def rdfxml_rows(
     for prop, spec in stmts.items():
         if isinstance(spec, str):
             spec = StatementSpec(spec)
+        if spec.prerendered:
+            raise ValueError(
+                "rdfxml cannot consume prerendered N-Triples terms; "
+                "serialize from the source column with datatype/lang instead"
+            )
         qn = _compact(prop, ns)
         if qn.startswith("<"):
             raise ValueError(
@@ -323,9 +339,10 @@ def serialize_docs(
             df = df.coalesce(1)
         df.write.mode("overwrite").text(path)
     elif fmt == "rdfxml":
-        df = rdfxml_rows(out, subject_col, statements, namespaces)
-        if single_file:
-            df = df.coalesce(1)
+        # ALWAYS one part-file: XML declaration/<rdf:RDF>/body/footer split
+        # across part-files would leave no individual file well-formed —
+        # only the exact filename-ordered concatenation would parse
+        df = rdfxml_rows(out, subject_col, statements, namespaces).coalesce(1)
         df.write.mode("overwrite").text(path)
     else:  # ntriples
         ntriples_lines(out, subject_col, statements).write.mode(

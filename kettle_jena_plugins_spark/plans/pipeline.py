@@ -76,6 +76,19 @@ def parse(spec: dict | str, variables: dict[str, str] | None = None) -> list[Ste
 def _validate_mapping(i: int, m: dict) -> None:
     if not isinstance(m, dict) or "property" not in m:
         raise PipelineConfigError(f"step {i}: mapping needs a property")
+    if m.get("datatype") and m.get("lang"):
+        raise PipelineConfigError(
+            f"step {i}: mapping {m['property']!r} cannot set both "
+            "datatype and lang"
+        )
+    if m.get("datatype"):
+        from ..functions.typed_literals import CONVERTERS
+
+        if m["datatype"] not in CONVERTERS:
+            raise PipelineConfigError(
+                f"step {i}: mapping {m['property']!r} has unknown "
+                f"datatype {m['datatype']!r}"
+            )
     if m.get("children"):
         # a blank-node substructure carries children INSTEAD of a field
         # (BLANK_NODE_FIELD_NAME indirection, JenaModelStepMeta.java:241-261)
@@ -83,6 +96,11 @@ def _validate_mapping(i: int, m: dict) -> None:
             raise PipelineConfigError(
                 f"step {i}: mapping {m['property']!r} cannot have both "
                 "field and children"
+            )
+        if m.get("datatype") or m.get("lang"):
+            raise PipelineConfigError(
+                f"step {i}: substructure {m['property']!r} cannot carry "
+                "datatype/lang"
             )
         for child in m["children"]:
             _validate_mapping(i, child)
@@ -190,6 +208,8 @@ def run_pipeline(
             skip=m.get("skip", False),
             if_null=Policy[m.get("if_null", "IGNORE")],
             children=tuple(mapping(ch) for ch in m.get("children", ())),
+            datatype=m.get("datatype"),
+            lang=m.get("lang"),
         )
 
     def combine_field(src) -> CombineField | str:
@@ -205,7 +225,10 @@ def run_pipeline(
         if isinstance(v, str):
             return v
         return StatementSpec(
-            v["column"], datatype=v.get("datatype"), lang=v.get("lang")
+            v["column"],
+            datatype=v.get("datatype"),
+            lang=v.get("lang"),
+            prerendered=v.get("prerendered", False),
         )
 
     out = df

@@ -155,6 +155,101 @@ def test_if_null_warn_counts(spark):
     assert by_id["r3"] == f"<ex:r3> {P}meta=[]; {P}note=x"
 
 
+def test_typed_mapping_renders_full_terms(spark):
+    """datatype/lang on a mapping (DbToJenaMapping rdfType/language,
+    JenaModelStepMeta.java:110-135) renders the full literal term into
+    BOTH doc_canon and the struct field."""
+    df = spark.createDataFrame(
+        [("r1", "user", 7, 'say "hi"')], "id string, role string, n int, note string"
+    )
+    out = construct_doc(
+        df,
+        uri_prefix="ex:",
+        uri_fields=["id"],
+        mappings=[
+            PropertyMapping("role", "t:role", lang="en"),
+            PropertyMapping("n", "t:n", datatype="integer"),
+            PropertyMapping("note", "t:note", datatype="string"),
+        ],
+        namespaces=NS,
+    )
+    row = out.first()
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    # ECHAR escaping applied to the lexical form (serialization-ready terms)
+    assert row["doc_canon"] == (
+        f'<ex:r1> {P}n="7"^^<{xsd}integer>; '
+        f'{P}note="say \\"hi\\""^^<{xsd}string>; '
+        f'{P}role="user"@en'
+    )
+    assert row["doc"]["t_n"] == f'"7"^^<{xsd}integer>'
+    assert row["doc"]["t_role"] == '"user"@en'
+
+
+def test_typed_mapping_gate_failure_routes_if_null(spark):
+    """A value failing the datatype's lexical gate becomes null and follows
+    ActionIfNull: IGNORE drops the statement; ERROR raises."""
+    df = spark.createDataFrame([("r1", "not-a-number")], "id string, v string")
+    out = construct_doc(
+        df,
+        uri_prefix="ex:",
+        uri_fields=["id"],
+        mappings=[PropertyMapping("v", "t:v", datatype="integer")],
+        namespaces=NS,
+    )
+    assert out.first()["doc_canon"] == "<ex:r1> "
+    err = construct_doc(
+        df,
+        uri_prefix="ex:",
+        uri_fields=["id"],
+        mappings=[
+            PropertyMapping(
+                "v", "t:v", datatype="integer", if_null=Policy.ERROR
+            )
+        ],
+        namespaces=NS,
+    )
+    with pytest.raises(Exception, match="row field: v is null"):
+        err.collect()
+
+
+def test_typed_mapping_config_errors():
+    with pytest.raises(ValueError, match="datatype and lang are exclusive"):
+        PropertyMapping("v", "t:v", datatype="integer", lang="en")
+    with pytest.raises(ValueError, match="cannot carry datatype/lang"):
+        PropertyMapping(
+            None,
+            "t:meta",
+            children=(PropertyMapping("v", "t:v"),),
+            datatype="integer",
+        )
+
+
+def test_typed_construct_to_serialize_chain(spark):
+    """construct(typed) → serializer via prerendered StatementSpec: the
+    datatype survives the chain into the N-Triples line untouched."""
+    from kettle_jena_plugins_spark.operators.serialize import (
+        StatementSpec,
+        ntriples_lines,
+    )
+
+    df = spark.createDataFrame([("r1", 7)], "id string, n int")
+    docs = construct_doc(
+        df,
+        uri_prefix="ex:",
+        uri_fields=["id"],
+        mappings=[PropertyMapping("n", "t:n", datatype="integer")],
+        namespaces=NS,
+    ).select(F.col("doc.subject").alias("subject"), F.col("doc.t_n").alias("t_n"))
+    lines = ntriples_lines(
+        docs,
+        statements={f"{P}n": StatementSpec("t_n", prerendered=True)},
+    )
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert lines.first()["value"] == (
+        f'<ex:r1> <{P}n> "7"^^<{xsd}integer> .'
+    )
+
+
 def test_remove_mapped_drops_nested_consumed(spark):
     df = rows(spark, [("r1", "user", "bash", "hi")])
     out = construct_doc(

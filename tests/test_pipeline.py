@@ -200,6 +200,100 @@ def test_nested_mapping_validation_errors():
         )
 
 
+def test_typed_construct_mapping_from_spec(spark, tmp_path):
+    """datatype/lang on construct mappings plumb through the JSON spec
+    (rdfType/language on DbToJenaMapping), survive the persist round-trip,
+    and render typed terms through a full construct → serialize chain
+    (prerendered statements)."""
+    ns_t = "http://example.org/transcript#"
+    spec = {
+        "steps": [
+            {
+                "type": "construct",
+                "uri_prefix": "ex:conv/",
+                "uri_fields": ["conv_id", "turn_idx"],
+                "mappings": [
+                    {"field": "role", "property": "t:role", "lang": "en"},
+                    {
+                        "field": "turn_idx",
+                        "property": "t:turn",
+                        "datatype": "integer",
+                    },
+                ],
+                "namespaces": {"t": ns_t},
+            },
+            {
+                "type": "select",
+                "columns": ["doc.subject", "doc.t_role", "doc.t_turn"],
+            },
+            {
+                "type": "serialize",
+                "fmt": "ntriples",
+                "subject_col": "subject",
+                "statements": {
+                    f"{ns_t}role": {"column": "t_role", "prerendered": True},
+                    f"{ns_t}turn": {"column": "t_turn", "prerendered": True},
+                },
+            },
+        ]
+    }
+    steps = parse(spec)
+    assert parse(to_json(steps)) == steps
+    out_dir = str(tmp_path / "nt")
+    run_pipeline(events(spark), steps, sink_path=out_dir)
+    lines = [r["value"] for r in spark.read.text(out_dir).collect()]
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert any(f'"@en' in line and f"<{ns_t}role>" in line for line in lines)
+    assert any(f'^^<{xsd}integer> .' in line for line in lines)
+
+
+def test_typed_mapping_spec_validation_errors():
+    base = {
+        "type": "construct",
+        "mappings": [
+            {"field": "x", "property": "t:x", "datatype": "integer", "lang": "en"}
+        ],
+    }
+    with pytest.raises(PipelineConfigError, match="both"):
+        parse({"steps": [base]})
+    with pytest.raises(PipelineConfigError, match="unknown"):
+        parse(
+            {
+                "steps": [
+                    {
+                        "type": "construct",
+                        "mappings": [
+                            {
+                                "field": "x",
+                                "property": "t:x",
+                                "datatype": "notatype",
+                            }
+                        ],
+                    }
+                ]
+            }
+        )
+    with pytest.raises(PipelineConfigError, match="substructure"):
+        parse(
+            {
+                "steps": [
+                    {
+                        "type": "construct",
+                        "mappings": [
+                            {
+                                "property": "t:m",
+                                "datatype": "integer",
+                                "children": [
+                                    {"field": "y", "property": "t:y"}
+                                ],
+                            }
+                        ],
+                    }
+                ]
+            }
+        )
+
+
 def test_serialize_turtle_from_spec(spark, tmp_path):
     steps = parse(
         {

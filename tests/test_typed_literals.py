@@ -99,6 +99,18 @@ def test_calendar_fragments(spark):
     )
 
 
+def test_decimal_no_grouping_commas(spark):
+    """xsd:decimal ≥1000 must not pick up grouping separators — a comma'd
+    lexical form ('1,234.500000') is invalid RDF no parser accepts."""
+    got = one(spark, 1234.5, "decimal", "double")
+    assert got == f'"1234.500000"^^<{XSD}decimal>'
+    assert "," not in got
+    assert (
+        one(spark, -9876543.21, "decimal", "double")
+        == f'"-9876543.210000"^^<{XSD}decimal>'
+    )
+
+
 def test_rdf_namespace_types(spark):
     assert one(spark, "<p>x</p>", "HTML") == f'"<p>x</p>"^^<{RDF_NS}HTML>'
     assert (
