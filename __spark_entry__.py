@@ -141,6 +141,56 @@ def q_validate_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dead_letter_stats(dirty, spec)
 
 
+def q_validate_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural shape validation over NESTED documents — the reference's
+    shapes-graph with nested property shapes (JenaShaclStepIT.java:58-81,
+    ODRL-shape.ttl): dotted-path required fields through a doubly-nested
+    doc struct, array cardinality (min/max count over split(text)), and an
+    sh:or alternative group (≥1 of text/tool present) — all compiled to
+    built-in null/size predicates in one codegen pass."""
+    from kettle_jena_plugins_spark.operators.construct import (
+        PropertyMapping,
+        construct_doc,
+    )
+    from kettle_jena_plugins_spark.operators.validate import (
+        PathShape,
+        ValidationSpec,
+    )
+
+    ch = change_events(spark, sf_dir)
+    ns = {"t": "http://example.org/transcript#"}
+    docs = construct_doc(
+        ch,
+        uri_prefix="ex:conv/",
+        uri_fields=["conv_id", "turn_idx"],
+        mappings=[
+            PropertyMapping("text", "t:text"),
+            PropertyMapping(
+                None,
+                "t:meta",
+                children=(
+                    PropertyMapping("tool", "t:tool"),
+                    PropertyMapping(
+                        None,
+                        "t:prov",
+                        children=(PropertyMapping("lsn", "t:lsn"),),
+                    ),
+                ),
+            ),
+        ],
+        namespaces=ns,
+    ).withColumn("parts", F.split("text", ":", -1))  # -1: keep trailing ""
+    spec = ValidationSpec(
+        shapes=(
+            PathShape("doc.t_meta.t_prov.t_lsn"),  # doubly-nested required
+            PathShape("doc.t_text"),  # null for deletes → violation
+            PathShape("parts", min_count=2, max_count=2),  # array cardinality
+        ),
+        any_of=(("doc.t_text", "doc.t_meta.t_tool"),),
+    )
+    return dead_letter_stats(docs, spec)
+
+
 def q_group_merge_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-and-Merge over whole conversations: all five OtherFieldAction
     policies (USE_FIRST / USE_LAST / NULL_IF_DIFFERENT / SET_NULL / DROP)
@@ -642,6 +692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_end_to_end": q_cdc_end_to_end,
     "cdc_final_op_counts": q_cdc_final_op_counts,
     "validate_dead_letter": q_validate_dead_letter,
+    "validate_shapes": q_validate_shapes,
 }
 
 
@@ -1336,6 +1387,26 @@ reasons AS (
     SELECT 'lsn_mod103' FROM dirty WHERE lsn % 103 = 0
 )
 SELECT reason, COUNT(*) AS n FROM reasons GROUP BY reason
+""",
+    "validate_shapes": f"""
+WITH {CHANGES_ORACLE_CTE},
+flags AS (
+    SELECT text, tool,
+           CASE WHEN text IS NULL THEN 0
+                ELSE len(string_split(text, ':')) END AS nparts
+    FROM changes
+)
+SELECT reason, n FROM (
+    SELECT 'min_count:doc.t_text' AS reason, COUNT(*) AS n
+    FROM flags WHERE text IS NULL
+    UNION ALL
+    SELECT 'min_count:parts', COUNT(*) FROM flags WHERE nparts < 2
+    UNION ALL
+    SELECT 'max_count:parts', COUNT(*) FROM flags WHERE nparts > 2
+    UNION ALL
+    SELECT 'any_of:doc.t_text|doc.t_meta.t_tool', COUNT(*)
+    FROM flags WHERE text IS NULL AND tool IS NULL
+) WHERE n > 0
 """,
 }
 

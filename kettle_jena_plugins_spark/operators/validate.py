@@ -20,6 +20,7 @@ from enum import Enum
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..model import VALID_OPS
 
@@ -31,6 +32,23 @@ class Policy(str, Enum):
     IGNORE = "IGNORE"
     WARN = "WARN"
     ERROR = "ERROR"
+
+
+@dataclass(frozen=True)
+class PathShape:
+    """Structural constraint on a (possibly nested) path — the engine's
+    analogue of a SHACL property shape with sh:path + sh:minCount /
+    sh:maxCount (the reference validates whole models against shape graphs
+    with nested property shapes: JenaShaclStepIT.java:58-81, ODRL-shape.ttl).
+
+    `path` is a dotted path into the row ("doc.t_meta.t_prov.t_lsn"),
+    resolved through nested structs. Cardinality is schema-aware: an array
+    path counts its elements (sh:minCount/maxCount over values); a scalar
+    path counts 0 (null) or 1, so min_count=1 means "required"."""
+
+    path: str
+    min_count: int = 1
+    max_count: int | None = None
 
 
 @dataclass(frozen=True)
@@ -49,6 +67,10 @@ class ValidationSpec:
     null_key_policy: Policy = Policy.ERROR  # ERROR → dead-letter the row
     # e.g. (("neg_turn", "turn_idx < 0"), ("long_text", "length(text) > 1e6"))
     constraints: tuple[tuple[str, str], ...] = ()
+    # structural shapes over nested paths (SHACL property-shape analogue)
+    shapes: tuple[PathShape, ...] = ()
+    # sh:or analogue: each group demands ≥1 of its paths non-null
+    any_of: tuple[tuple[str, ...], ...] = ()
 
 
 def _violation_checks(spec: ValidationSpec) -> list[tuple[str, Column]]:
@@ -66,10 +88,51 @@ def _violation_checks(spec: ValidationSpec) -> list[tuple[str, Column]]:
     return checks
 
 
+def _resolve_path_type(schema: T.StructType, path: str) -> T.DataType:
+    """Walk a dotted path through nested structs; raises if any segment is
+    missing (a shape over an absent path is a config error, like the
+    reference's unresolvable sh:path)."""
+    dt: T.DataType = schema
+    for part in path.split("."):
+        if not isinstance(dt, T.StructType) or part not in dt.fieldNames():
+            raise ValueError(f"shape path {path!r}: no field {part!r}")
+        dt = dt[part].dataType
+    return dt
+
+
+def _shape_checks(
+    schema: T.StructType, spec: ValidationSpec
+) -> list[tuple[str, Column]]:
+    """Compile PathShape/any_of into (reason, violation-predicate) pairs —
+    pure built-in expressions (null-checks / size), so structural
+    validation rides the same single codegen pass as the flat checks."""
+    checks: list[tuple[str, Column]] = []
+    for sh in spec.shapes:
+        dt = _resolve_path_type(schema, sh.path)
+        if isinstance(dt, T.ArrayType):
+            count = F.coalesce(F.size(F.col(sh.path)), F.lit(0))
+        else:
+            count = F.when(F.col(sh.path).isNotNull(), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        if sh.min_count > 0:
+            checks.append((f"min_count:{sh.path}", count < sh.min_count))
+        if sh.max_count is not None:
+            checks.append((f"max_count:{sh.path}", count > sh.max_count))
+    for group in spec.any_of:
+        for p in group:
+            _resolve_path_type(schema, p)  # surface config errors eagerly
+        all_null = F.lit(True)
+        for p in group:
+            all_null = all_null & F.col(p).isNull()
+        checks.append((f"any_of:{'|'.join(group)}", all_null))
+    return checks
+
+
 def with_violations(events: DataFrame, spec: ValidationSpec | None = None) -> DataFrame:
     """Append a `violations: array<string>` column (empty = conforming row)."""
     spec = spec or ValidationSpec()
-    checks = _violation_checks(spec)
+    checks = _violation_checks(spec) + _shape_checks(events.schema, spec)
     arr = F.array_compact(
         F.array(*[F.when(cond, F.lit(name)) for name, cond in checks])
     )

@@ -199,7 +199,12 @@ def run_pipeline(
     from ..operators.construct import PropertyMapping, construct_doc
     from ..operators.groupmerge import OtherFieldAction, group_merge
     from ..operators.serialize import StatementSpec, serialize_docs
-    from ..operators.validate import Policy, ValidationSpec, validate_split
+    from ..operators.validate import (
+        PathShape,
+        Policy,
+        ValidationSpec,
+        validate_split,
+    )
 
     def mapping(m: dict) -> PropertyMapping:
         return PropertyMapping(
@@ -273,6 +278,15 @@ def run_pipeline(
                     constraints=tuple(
                         (r, p) for r, p in c.get("constraints", ())
                     ),
+                    shapes=tuple(
+                        PathShape(
+                            s["path"],
+                            min_count=s.get("min_count", 1),
+                            max_count=s.get("max_count"),
+                        )
+                        for s in c.get("shapes", ())
+                    ),
+                    any_of=tuple(tuple(g) for g in c.get("any_of", ())),
                 ),
             )
             out = ok  # dead-letter routing handled by the caller's sink cfg

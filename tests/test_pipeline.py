@@ -247,6 +247,40 @@ def test_typed_construct_mapping_from_spec(spark, tmp_path):
     assert any(f'^^<{xsd}integer> .' in line for line in lines)
 
 
+def test_shape_validation_from_spec(spark):
+    """PathShape/any_of structural constraints plumb through the
+    validate_split step config: rows failing a nested-path shape are
+    filtered out of the surviving stream."""
+    spec = {
+        "steps": [
+            {
+                "type": "construct",
+                "uri_prefix": "ex:conv/",
+                "uri_fields": ["conv_id", "turn_idx"],
+                "mappings": [
+                    {"field": "text", "property": "t:text"},
+                    {
+                        "property": "t:meta",
+                        "children": [{"field": "tool", "property": "t:tool"}],
+                    },
+                ],
+                "namespaces": {"t": "http://example.org/transcript#"},
+            },
+            {
+                "type": "validate_split",
+                "shapes": [{"path": "doc.t_text", "min_count": 1}],
+                "any_of": [["doc.t_text", "doc.t_meta.t_tool"]],
+            },
+        ]
+    }
+    steps = parse(spec)
+    assert parse(to_json(steps)) == steps
+    got = run_pipeline(events(spark), steps)
+    # deletes carry null text → dropped by the doc.t_text shape
+    assert got.filter("doc.t_text IS NULL").count() == 0
+    assert got.count() > 0
+
+
 def test_typed_mapping_spec_validation_errors():
     base = {
         "type": "construct",

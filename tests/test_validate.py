@@ -1,9 +1,15 @@
 """Validation split: built-in constraint set + user-extensible predicates
-(the reference's runtime-loaded shapes graph, JenaShaclStep.java:59-71)."""
+(the reference's runtime-loaded shapes graph, JenaShaclStep.java:59-71) +
+structural PathShape constraints over nested structs (the nested
+property-shape analogue, JenaShaclStepIT.java:58-81)."""
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from kettle_jena_plugins_spark.operators.validate import (
+    PathShape,
     ValidationSpec,
     dead_letter_stats,
     validate_split,
@@ -45,6 +51,73 @@ def test_custom_constraints_flag_rows(spark):
         "neg_turn": 1,
         "empty_text": 1,
     }
+
+
+def nested(spark):
+    """Rows with a nested doc struct + an array column, for PathShapes."""
+    base = events(spark)
+    return base.select(
+        "*",
+        F.struct(
+            F.struct(
+                F.col("tool").alias("t_tool"),
+                F.struct(F.col("lsn").alias("t_lsn")).alias("t_prov"),
+            ).alias("t_meta"),
+            F.col("text").alias("t_text"),
+        ).alias("doc"),
+        F.when(F.col("text") != "", F.split("text", ",")).alias("words"),
+    )
+
+
+def test_path_shapes_nested_required_and_cardinality(spark):
+    spec = ValidationSpec(
+        require_keys=(),
+        require_ts=False,
+        shapes=(
+            PathShape("doc.t_meta.t_prov.t_lsn"),  # always present → 0
+            PathShape("doc.t_meta.t_tool"),  # tool always null → all rows
+            PathShape("words", min_count=1, max_count=1),
+        ),
+        any_of=(("doc.t_text", "doc.t_meta.t_tool"),),
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(nested(spark), spec).collect()
+    }
+    # bad_op fires for 'Z'; tool null in all 4 rows; the ""-text row has a
+    # null words array (count 0 < 1); no text is ever null alongside tool →
+    # any_of never fires; doubly-nested lsn always present
+    assert stats == {
+        "bad_op": 1,
+        "min_count:doc.t_meta.t_tool": 4,
+        "min_count:words": 1,
+    }
+    assert "min_count:doc.t_meta.t_prov.t_lsn" not in stats
+    assert not any(k.startswith("any_of") for k in stats)
+
+
+def test_any_of_group_fires_when_all_null(spark):
+    df = nested(spark).withColumn(
+        "doc",
+        F.when(F.col("turn_idx") == 0, F.col("doc")).otherwise(
+            F.col("doc").withField("t_text", F.lit(None).cast("string"))
+        ),
+    )
+    spec = ValidationSpec(
+        require_keys=(),
+        require_ts=False,
+        any_of=(("doc.t_text", "doc.t_meta.t_tool"),),
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(df, spec).collect()
+    }
+    # every row except turn 0 has both t_text and t_tool null
+    assert stats["any_of:doc.t_text|doc.t_meta.t_tool"] == 3
+
+
+def test_shape_over_missing_path_is_config_error(spark):
+    spec = ValidationSpec(shapes=(PathShape("doc.nope.deeper"),))
+    with pytest.raises(ValueError, match="no field 'nope'"):
+        validate_split(nested(spark), spec)
 
 
 def test_null_predicate_is_not_a_violation(spark):
