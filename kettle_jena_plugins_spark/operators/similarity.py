@@ -529,6 +529,8 @@ def lsh_buckets_np(
     def assign(batches):
         w = bc.value
         for b in batches:
+            if not len(b):  # empty Arrow batch: vstack would raise
+                continue
             v = np.vstack(b[vec_col].to_numpy()).astype("float64")
             signs = np.einsum("nd,tpd->ntp", v, w) >= 0  # (n, tables, planes)
             buckets = (signs * weights).sum(axis=2)  # (n, tables)
@@ -570,27 +572,34 @@ def lsh_buckets_np_multiprobe(
     )
     weights = (1 << np.arange(n_planes)).astype("int64")
 
+    n_probe = min(probe_bits, n_planes)
+
     def assign(batches):
         w = bc.value
         for b in batches:
+            if not len(b):  # empty Arrow batch: vstack would raise
+                continue
             v = np.vstack(b[vec_col].to_numpy()).astype("float64")
             margins = np.einsum("nd,tpd->ntp", v, w)  # (n, tables, planes)
             base = ((margins >= 0) * weights).sum(axis=2)  # (n, tables)
             n = len(b)
-            ids, tables, buckets = [], [], []
-            order = np.argsort(np.abs(margins), axis=2)  # per (n, t)
-            for i in range(n):
-                for t in range(n_tables):
-                    ids.append(b[id_col].iat[i])
-                    tables.append(t)
-                    buckets.append(int(base[i, t]))
-                    for j in range(min(probe_bits, n_planes)):
-                        flip = int(order[i, t, j])
-                        ids.append(b[id_col].iat[i])
-                        tables.append(t)
-                        buckets.append(int(base[i, t]) ^ (1 << flip))
+            # lowest-|margin| planes first; flip masks for the n_probe
+            # nearest planes per (row, table) — all array ops, no row loop
+            order = np.argsort(np.abs(margins), axis=2)[:, :, :n_probe]
+            flips = np.int64(1) << order.astype("int64")  # (n, T, P)
+            allb = np.concatenate(
+                [base[:, :, None], base[:, :, None] ^ flips], axis=2
+            )  # (n, T, P+1): base bucket then its probes
             yield pd.DataFrame(
-                {"id": ids, "table": tables, "bucket": buckets}
+                {
+                    "id": np.repeat(
+                        b[id_col].to_numpy(), n_tables * (n_probe + 1)
+                    ),
+                    "table": np.tile(
+                        np.repeat(np.arange(n_tables), n_probe + 1), n
+                    ),
+                    "bucket": allb.reshape(-1),
+                }
             )
 
     return df.select(id_col, vec_col).mapInPandas(

@@ -117,18 +117,42 @@ def shingle_fingerprint_df(
 
 @pandas_udf(T.LongType())
 def rolling_fingerprint(texts: pd.Series) -> pd.Series:
-    """Polynomial rolling hash over UTF-8 bytes mod 2^61-1 (vectorized pandas
-    UDF — custom hashing that built-ins can't express; the scale path for
-    content-defined chunking / winnowing)."""
-    MOD = (1 << 61) - 1
-    BASE = 257
+    """Polynomial rolling hash over UTF-8 bytes mod 2^61-1 (Mersenne prime),
+    numpy-vectorized: one Horner step per BYTE POSITION over the whole batch
+    (a (n_rows × max_len) byte matrix), not per row. h*257 would overflow
+    uint64, so the multiply runs in 32-bit limbs and the 2^61 overflow folds
+    via the Mersenne identity 2^61 ≡ 1 (mod M) — bit-for-bit identical to
+    the scalar h = (h*257 + byte) % M, which the DuckDB HUGEINT
+    list_reduce oracle reproduces."""
+    import numpy as np
 
-    def rh(t):
-        if t is None:
-            return None
-        h = 0
-        for byt in t.encode("utf-8"):
-            h = (h * BASE + byt) % MOD
-        return h
+    M = np.uint64((1 << 61) - 1)
+    BASE = np.uint64(257)
+    LOW32 = np.uint64(0xFFFFFFFF)
+    LOW29 = np.uint64((1 << 29) - 1)
 
-    return texts.map(rh)
+    valid = texts.notna().to_numpy()
+    enc = [t.encode("utf-8") for t in texts[valid]]
+    out = np.zeros(len(texts), dtype="uint64")
+    if enc:
+        lens = np.array([len(e) for e in enc], dtype="int64")
+        blob = np.frombuffer(b"".join(enc), dtype=np.uint8).astype("uint64")
+        n, maxlen = len(enc), int(lens.max())
+        # row-major masked fill == concatenation order
+        mask = np.arange(maxlen)[None, :] < lens[:, None]
+        pad = np.zeros((n, maxlen), dtype="uint64")
+        pad[mask] = blob
+        h = np.zeros(n, dtype="uint64")
+        for j in range(maxlen):
+            hi, lo = h >> np.uint64(32), h & LOW32
+            a = hi * BASE  # < 2^38
+            # a<<32 mod M: fold the bits above 2^61 (Mersenne: 2^61 ≡ 1)
+            top = (a >> np.uint64(29)) + ((a & LOW29) << np.uint64(32))
+            tot = top + lo * BASE + pad[:, j]  # < 2^62: uint64-safe
+            tot = (tot >> np.uint64(61)) + (tot & M)
+            tot = np.where(tot >= M, tot - M, tot)
+            h = np.where(mask[:, j], tot, h)
+        out[valid] = h
+    res = pd.Series(out.astype("int64"), index=texts.index, dtype="object")
+    res[~valid] = None
+    return res

@@ -191,6 +191,28 @@ def test_rolling_fingerprint_matches_reference(spark):
         assert got[r["doc_id"]] == h
 
 
+def test_rolling_fingerprint_edge_cases(spark):
+    """Vectorized path edge cases: null → null, empty → 0, multi-byte
+    UTF-8 and long strings match the scalar Horner reference."""
+    from kettle_jena_plugins_spark.operators.text import rolling_fingerprint
+
+    vals = [None, "", "a", "héllo wörld ☃", "x" * 5000]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, t string")
+    got = {
+        r["i"]: r["fp"]
+        for r in df.select("i", rolling_fingerprint(F.col("t")).alias("fp")).collect()
+    }
+    MOD, BASE = (1 << 61) - 1, 257
+    for i, v in enumerate(vals):
+        if v is None:
+            assert got[i] is None
+            continue
+        h = 0
+        for byt in v.encode("utf-8"):
+            h = (h * BASE + byt) % MOD
+        assert got[i] == h
+
+
 def test_multimodal_plumbing(spark):
     from kettle_jena_plugins_spark.operators.multimodal import (
         FEATURE_SCHEMA,
