@@ -85,6 +85,50 @@ def q_cdc_lww_state_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming path under the correctness contract: write the
+    change stream as a 3-segment WAL, replay it through Structured
+    Streaming (readStream → foreachBatch(apply_batch) → checkpoint,
+    availableNow, one file per micro-batch) into a parquet-lake target,
+    then read the committed final state back. Oracle = the same
+    one-shot LWW SQL as cdc_lww_state — promoting the
+    streaming≡batch equivalence from pytest to the hash-checked gate."""
+    import tempfile
+
+    from kettle_jena_plugins_spark.streaming.apply import CDCConfig, run_stream
+    from kettle_jena_plugins_spark.targets.parquet_lake import ParquetLakeTarget
+
+    ch = change_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="cdc_streaming_state_")
+    wal, ckpt, tbl = f"{base}/wal", f"{base}/ckpt", f"{base}/tbl"
+    for i in range(3):  # interleaved segments: out-of-order across batches
+        ch.filter(F.col("lsn") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(wal)
+    tgt = ParquetLakeTarget(spark, tbl, n_buckets=8)
+    tgt.create()
+    run_stream(
+        spark,
+        wal,
+        tgt,
+        ckpt,
+        CDCConfig(normalize=False),
+        max_files_per_trigger=1,
+    )
+    return (
+        tgt.read_internal()
+        .filter(~F.col("_deleted"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            F.col("_lsn").alias("last_lsn"),
+        )
+    )
+
+
 def q_cdc_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole .ktr chain as ONE composed plan
     (EndToEndIT.java:60-92: inject → create model → serialize): change
@@ -687,6 +731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "typed_literals": q_typed_literals,
     "value_substitution": q_value_substitution,
     "cdc_lww_state": q_cdc_lww_state,
+    "cdc_streaming_state": q_cdc_streaming_state,
     "cdc_lww_state_salted": q_cdc_lww_state_salted,
     "cdc_lww_state_window": q_cdc_lww_state_window,
     "cdc_end_to_end": q_cdc_end_to_end,
@@ -1332,6 +1377,11 @@ SELECT lsn,
 FROM changes
 """,
     "cdc_lww_state": _LWW_RANKED
+    + """
+SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+    "cdc_streaming_state": _LWW_RANKED
     + """
 SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
 FROM ranked WHERE rn = 1 AND op <> 'D'
