@@ -31,7 +31,15 @@ from pyspark.sql import functions as F
 from ..functions.qnames import DEFAULT_NAMESPACES
 from ..functions.typed_literals import XSD, to_typed_literal
 
-FORMATS = ("ntriples", "turtle", "rdfxml", "canon", "jsonl", "parquet")
+FORMATS = (
+    "ntriples",
+    "turtle",
+    "rdfxml",
+    "rdfxml-abbrev",
+    "canon",
+    "jsonl",
+    "parquet",
+)
 
 
 @dataclass(frozen=True)
@@ -338,7 +346,13 @@ def serialize_docs(
         if single_file:
             df = df.coalesce(1)
         df.write.mode("overwrite").text(path)
-    elif fmt == "rdfxml":
+    elif fmt in ("rdfxml", "rdfxml-abbrev"):
+        # RDF/XML-ABBREV (Rdf11.java:82-83) collapses to flat RDF/XML for
+        # this engine's documents: one subject per row, literal-valued
+        # properties only, no rdf:type — abbreviation (typed node elements,
+        # nested resources) has nothing to abbreviate, so both layouts are
+        # the same element structure. tests/test_serialize.py verifies the
+        # claim by parsing the XML back to the N-Triples triple set.
         # ALWAYS one part-file: XML declaration/<rdf:RDF>/body/footer split
         # across part-files would leave no individual file well-formed —
         # only the exact filename-ordered concatenation would parse

@@ -80,7 +80,17 @@ def merge_into_sql(
 ) -> str:
     """Key-partitioned MERGE INTO with the LWW guard
     `struct(s.ts, s.lsn) > struct(t.ts, t._lsn)` — equal-or-older replayed
-    rows are no-ops, preserving convergence under duplicate delivery."""
+    rows are no-ops, preserving convergence under duplicate delivery.
+
+    CONVERGENCE CAVEAT — hard_delete=True weakens this guarantee: once a D
+    physically deletes a key, the (ts, _lsn) pair that anchored the LWW
+    guard is gone, so a redelivered/out-of-order OLDER update for that key
+    hits WHEN NOT MATCHED and re-inserts stale data. The batch-id
+    idempotence gate covers whole-batch replays (same lineage), but NOT
+    cross-lineage redelivery or intra-stream reordering. Use hard_delete
+    only with exactly-once ordered delivery upstream (or pre-dedup against
+    the WAL); soft-delete tombstones (the default) keep (ts, _lsn) and
+    converge under any delivery order."""
     on = " AND ".join(f"t.{k} = s.{k}" for k in merge_keys)
     set_cols = ", ".join(
         [f"t.{c} = s.{c}" for c in payload]
@@ -135,6 +145,11 @@ class IcebergTarget:
         n_buckets: int = 16,
         hard_delete: bool = False,
     ):
+        """hard_delete=True physically deletes on D instead of writing a
+        tombstone — see merge_into_sql's convergence caveat: it requires
+        exactly-once ordered delivery upstream, because a hard-deleted key
+        loses its LWW anchor and an older redelivered update would
+        re-insert stale data."""
         self.spark = spark
         self.table = table
         self.n_buckets = n_buckets

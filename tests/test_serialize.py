@@ -147,6 +147,63 @@ def test_serialize_docs_rdfxml_single_file_order(spark, tmp_path):
     assert any("rdf:Description" in line for line in content[2:-1])
 
 
+def test_rdfxml_abbrev_collapse_is_semantically_verified(spark, tmp_path):
+    """The documented flat≡ABBREV collapse, as a checked claim: for
+    one-subject-per-row, literal-only documents (no rdf:type, no nested
+    resources — nothing for abbreviation to abbreviate), the rdfxml output
+    must (a) be well-formed XML, (b) contain only literal property
+    elements, and (c) parse back to EXACTLY the triple set the ntriples
+    serialization emits."""
+    import xml.etree.ElementTree as ET
+
+    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    d = df(
+        spark,
+        [("s1", 'quote " and <angle>', 1), ("s2", None, 2), ("s3", "plain", 3)],
+    )
+    stmts = {
+        f"{NS}v": StatementSpec("v"),
+        f"{NS}n": StatementSpec("n", datatype="integer"),
+        f"{NS}lbl": StatementSpec("v", lang="en"),
+    }
+    path = str(tmp_path / "out.rdf")
+    # rdfxml-abbrev routes through the same writer (the collapse)
+    serialize_docs(d, path, fmt="rdfxml-abbrev", statements=stmts, namespaces={"t": NS})
+    (part,) = glob.glob(f"{path}/part-*")
+    root = ET.parse(part).getroot()  # (a) well-formed
+
+    xml_triples = set()
+    for desc in root:
+        assert desc.tag == f"{{{RDF_NS}}}Description"
+        subj = desc.attrib[f"{{{RDF_NS}}}about"]
+        for prop in desc:
+            # (b) literal property elements only: no children, no
+            # rdf:resource / rdf:nodeID (the shapes ABBREV would change)
+            assert len(list(prop)) == 0
+            assert f"{{{RDF_NS}}}resource" not in prop.attrib
+            pred = prop.tag.replace("{", "").replace("}", "")
+            dt = prop.attrib.get(f"{{{RDF_NS}}}datatype")
+            lang = prop.attrib.get("{http://www.w3.org/XML/1998/namespace}lang")
+            xml_triples.add((subj, pred, prop.text or "", dt, lang))
+
+    nt_triples = set()
+    for line in lines(ntriples_lines(d, "subject", stmts)):
+        assert line.endswith(" .")
+        s, rest = line[1:].split("> <", 1)
+        p, obj = rest.split("> ", 1)
+        obj = obj[:-2]  # strip " ."
+        dt = lang = None
+        if obj.endswith(">") and "^^<" in obj:
+            obj, dt = obj.rsplit("^^<", 1)
+            dt = dt[:-1]
+        elif "\"@" in obj:
+            obj, lang = obj.rsplit("@", 1)
+        lex = obj[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        nt_triples.add((s, p, lex, dt, lang))
+
+    assert xml_triples == nt_triples  # (c) same triple set
+
+
 def test_serialize_docs_turtle(spark, tmp_path):
     d = df(spark, [("s1", "hi", 1), ("s2", "yo", 2)])
     path = str(tmp_path / "out.ttl")
