@@ -72,11 +72,21 @@ print(json.dumps({"cores": cores, "wall_sec": round(wall, 2),
 def run_at(cores: int, n: int, nb: int, wal: str, repeats: int = 2) -> dict:
     """Best wall over `repeats` identical runs — the sandbox is a shared
     microVM with visible host CPU steal, so min-wall is the least-noisy
-    estimator of the job's true cost at each parallelism."""
+    estimator of the job's true cost at each parallelism.
+
+    SCALE_PIN_CORES=1 pins each level to exactly `cores` dedicated CPUs via
+    taskset (0..cores-1): the JVM then sizes GC/JIT/daemon pools to the
+    pinned set (Runtime.availableProcessors honors the affinity mask), so a
+    level models a fixed-size executor container instead of a local[k]
+    JVM free to fan its service threads across all host cores — the
+    isolation-based variant of the two-cluster-size measurement."""
     best = None
     for _ in range(repeats):
+        cmd = [sys.executable, "-c", WORKER, str(cores), str(n), str(nb), wal]
+        if os.environ.get("SCALE_PIN_CORES"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, "-c", WORKER, str(cores), str(n), str(nb), wal],
+            cmd,
             capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -133,6 +143,7 @@ def main() -> None:
         "n_events": args.n_events,
         "batches": args.batches,
         "repeats": args.repeats,
+        "pinned_cores": bool(os.environ.get("SCALE_PIN_CORES")),
         f"local[{args.n}]": small,
         f"local[{args.x4}]": large,
         "scaling_efficiency": round(eff, 3),
@@ -160,10 +171,11 @@ def _record(result: dict, args) -> None:
         "| events | batches | local[N] ev/s | local[4N] ev/s | efficiency |\n"
         "|---|---|---|---|---|\n"
     )
+    pin = " pinned" if result.get("pinned_cores") else ""
     row = (
         f"| {result['n_events']:,} | {result['batches']} "
-        f"| {s['events_per_sec']:,} (local[{args.n}], {s['wall_sec']}s) "
-        f"| {l['events_per_sec']:,} (local[{args.x4}], {l['wall_sec']}s) "
+        f"| {s['events_per_sec']:,} (local[{args.n}]{pin}, {s['wall_sec']}s) "
+        f"| {l['events_per_sec']:,} (local[{args.x4}]{pin}, {l['wall_sec']}s) "
         f"| **{result['scaling_efficiency']}** |\n"
     )
     if header not in txt:

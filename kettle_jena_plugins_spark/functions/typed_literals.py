@@ -60,11 +60,39 @@ def xsd_double(col: Column) -> Column:
     return _typed(col.try_cast("double").cast("string"), "double")
 
 
-def xsd_datetime(col: Column) -> Column:
+_OFFSET_RE = r"^[+-]\d{2}:\d{2}$"
+
+
+def xsd_datetime(col: Column, offset: str | None = None) -> Column:
     """timestamp → canonical UTC dateTime; malformed lexical forms → null
-    (the reference's regex gate, via try_to_timestamp under ANSI mode)."""
+    (the reference's regex gate, via try_to_timestamp under ANSI mode).
+
+    `offset` ("+05:30" / "-02:00") renders the SAME instant in that fixed
+    zone offset — the engine's (sane) version of the reference's
+    source-calendar preservation (JenaModelStep.java:477,497 keeps the
+    source calendar, badly, via Locale.UK): non-UTC offsets become
+    representable while the instant semantics stay exact."""
     ts = F.try_to_timestamp(col.cast("string"))
-    lex = F.when(ts.isNotNull(), F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    if offset is None:
+        lex = F.when(
+            ts.isNotNull(), F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        )
+        return _typed(lex, "dateTime")
+    import re
+
+    if not re.match(_OFFSET_RE, offset):
+        raise ValueError(f"offset must look like +HH:MM, got {offset!r}")
+    sign = 1 if offset[0] == "+" else -1
+    hh, mm = int(offset[1:3]), int(offset[4:6])
+    shifted = ts + F.expr(
+        f"INTERVAL '{sign * (hh * 60 + mm)}' MINUTE"
+    )
+    lex = F.when(
+        ts.isNotNull(),
+        F.concat(
+            F.date_format(shifted, "yyyy-MM-dd'T'HH:mm:ss"), F.lit(offset)
+        ),
+    )
     return _typed(lex, "dateTime")
 
 

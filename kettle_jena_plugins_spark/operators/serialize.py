@@ -67,6 +67,69 @@ class StatementSpec:
             )
 
 
+@dataclass(frozen=True)
+class FilenameDecoration:
+    """Output-filename decoration — the reference's serializer builds its
+    target filename from a base name plus optional step number, partition
+    (copy) number, date and time fragments before the extension
+    (JenaSerializerStep.java:256-300 buildFilename). Engine mapping: Spark
+    writes part-files; decoration renames them post-commit, one name per
+    partition file, with the same fragment order (stepnr, partnr, date,
+    time)."""
+
+    base: str = "output"
+    include_step_nr: bool = False
+    include_partition_nr: bool = True
+    include_date: bool = False
+    include_time: bool = False
+    step_nr: int = 0
+
+
+EXTENSIONS = {
+    "ntriples": ".nt",
+    "turtle": ".ttl",
+    "rdfxml": ".rdf",
+    "rdfxml-abbrev": ".rdf",
+    "canon": ".txt",
+    "jsonl": ".jsonl",
+    "parquet": ".parquet",
+}
+
+
+def decorate_part_files(
+    path: str, decoration: FilenameDecoration, fmt: str, now=None
+) -> list[str]:
+    """Rename the written part-files per the decoration spec; returns the
+    new paths in partition order. Deterministic when `now` is supplied."""
+    import datetime
+    import glob as _glob
+    import os
+
+    parts = sorted(_glob.glob(os.path.join(path, "part-*")))
+    if len(parts) > 1 and not decoration.include_partition_nr:
+        raise ValueError(
+            f"{len(parts)} part-files but include_partition_nr=False — "
+            "names would collide (the reference appends the copy number "
+            "for parallel step copies)"
+        )
+    now = now or datetime.datetime.now()
+    out: list[str] = []
+    for i, p in enumerate(parts):
+        name = decoration.base
+        if decoration.include_step_nr:
+            name += f"_{decoration.step_nr}"
+        if decoration.include_partition_nr:
+            name += f"_{i}"
+        if decoration.include_date:
+            name += "_" + now.strftime("%Y%m%d")
+        if decoration.include_time:
+            name += "_" + now.strftime("%H%M%S")
+        dst = os.path.join(path, name + EXTENSIONS.get(fmt, ".txt"))
+        os.replace(p, dst)
+        out.append(dst)
+    return out
+
+
 def escape_literal(col: Column) -> Column:
     """N-Triples/TURTLE ECHAR escaping: backslash first, then quote,
     newline, carriage return, tab (the reference delegates to Jena's
@@ -320,12 +383,15 @@ def serialize_docs(
     statements: dict[str, StatementSpec | str] | None = None,
     namespaces: dict[str, str] | None = None,
     single_file: bool = False,
+    decorate: FilenameDecoration | None = None,
 ) -> float:
     """Write the document stream once; returns wall seconds (the reference
     logs serializer wall time, JenaSerializerStep.java:96-102).
 
     statements: {property_uri: column | StatementSpec} — exploded to one
     triple line per non-null value for the ntriples/turtle formats.
+    decorate: rename part-files per FilenameDecoration
+    (JenaSerializerStep.java:256-300 filename building).
     """
     if fmt not in FORMATS:
         raise ValueError(f"format must be one of {FORMATS}")
@@ -362,4 +428,6 @@ def serialize_docs(
         ntriples_lines(out, subject_col, statements).write.mode(
             "overwrite"
         ).text(path)
+    if decorate is not None:
+        decorate_part_files(path, decorate, fmt)
     return time.time() - t0

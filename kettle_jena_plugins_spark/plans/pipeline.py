@@ -198,7 +198,11 @@ def run_pipeline(
     from ..operators.combine import CombineField, combine_columns
     from ..operators.construct import PropertyMapping, construct_doc
     from ..operators.groupmerge import OtherFieldAction, group_merge
-    from ..operators.serialize import StatementSpec, serialize_docs
+    from ..operators.serialize import (
+        FilenameDecoration,
+        StatementSpec,
+        serialize_docs,
+    )
     from ..operators.validate import (
         PathShape,
         Policy,
@@ -305,5 +309,10 @@ def run_pipeline(
                 or None,
                 namespaces=c.get("namespaces"),
                 single_file=c.get("single_file", False),
+                decorate=(
+                    FilenameDecoration(**c["decorate"])
+                    if c.get("decorate")
+                    else None
+                ),
             )
     return out

@@ -204,6 +204,61 @@ def test_rdfxml_abbrev_collapse_is_semantically_verified(spark, tmp_path):
     assert xml_triples == nt_triples  # (c) same triple set
 
 
+def test_filename_decoration(spark, tmp_path):
+    """Decorated output filenames (JenaSerializerStep.java:256-300):
+    base + stepnr + partnr + date + time fragments, in that order, before
+    the format extension; collision guard when partnr is off."""
+    import datetime
+    import glob as g
+    import os
+
+    from kettle_jena_plugins_spark.operators.serialize import (
+        FilenameDecoration,
+        decorate_part_files,
+        serialize_docs,
+    )
+
+    d = df(spark, [("s1", "a", 1), ("s2", "b", 2)]).repartition(2)
+    path = str(tmp_path / "nt")
+    serialize_docs(
+        d,
+        path,
+        fmt="ntriples",
+        statements={f"{NS}v": "v"},
+        decorate=FilenameDecoration(
+            base="graph", include_step_nr=True, step_nr=3
+        ),
+    )
+    names = sorted(os.path.basename(p) for p in g.glob(f"{path}/graph*"))
+    assert names == ["graph_3_0.nt", "graph_3_1.nt"]
+    assert not g.glob(f"{path}/part-*")
+
+    # date/time fragments, deterministic clock
+    d.select("subject").coalesce(1).write.mode("overwrite").text(
+        str(tmp_path / "raw")
+    )
+    out = decorate_part_files(
+        str(tmp_path / "raw"),
+        FilenameDecoration(
+            base="o", include_date=True, include_time=True
+        ),
+        "turtle",
+        now=datetime.datetime(2026, 3, 7, 8, 9, 10),
+    )
+    assert [os.path.basename(p) for p in out] == ["o_0_20260307_080910.ttl"]
+
+    # two parts + no partition number → collision guard
+    serialize_docs(
+        d, str(tmp_path / "nt2"), fmt="ntriples", statements={f"{NS}v": "v"}
+    )
+    with pytest.raises(ValueError, match="collide"):
+        decorate_part_files(
+            str(tmp_path / "nt2"),
+            FilenameDecoration(include_partition_nr=False),
+            "ntriples",
+        )
+
+
 def test_serialize_docs_turtle(spark, tmp_path):
     d = df(spark, [("s1", "hi", 1), ("s2", "yo", 2)])
     path = str(tmp_path / "out.ttl")

@@ -99,6 +99,26 @@ def test_calendar_fragments(spark):
     )
 
 
+def test_datetime_fixed_offset(spark):
+    """Non-UTC offsets are representable: the same instant renders in a
+    fixed zone offset (the engine's version of the reference's
+    source-calendar preservation, JenaModelStep.java:477,497)."""
+    from kettle_jena_plugins_spark.functions.typed_literals import xsd_datetime
+
+    df = spark.createDataFrame([("2026-03-07 08:09:10",)], "v string").select(
+        F.col("v").cast("timestamp").alias("v")
+    )
+
+    def at(offset):
+        return df.select(xsd_datetime(F.col("v"), offset=offset).alias("o")).first()["o"]
+
+    assert at("+05:30") == f'"2026-03-07T13:39:10+05:30"^^<{XSD}dateTime>'
+    assert at("-02:00") == f'"2026-03-07T06:09:10-02:00"^^<{XSD}dateTime>'
+    assert at(None) == f'"2026-03-07T08:09:10Z"^^<{XSD}dateTime>'
+    with pytest.raises(ValueError, match="offset"):
+        df.select(xsd_datetime(F.col("v"), offset="UTC+5"))
+
+
 def test_decimal_no_grouping_commas(spark):
     """xsd:decimal ≥1000 must not pick up grouping separators — a comma'd
     lexical form ('1,234.500000') is invalid RDF no parser accepts."""
