@@ -1,14 +1,22 @@
 """Run every queries() entry against its DuckDB oracle at sf0.001 — the same
-comparison the driver performs at sf0.01 (CORRECTNESS gate)."""
+comparison the driver performs at sf0.01 (CORRECTNESS gate).
+
+KJP_ORACLE_SF_DIR overrides the scale factor (e.g.
+`KJP_ORACLE_SF_DIR=/root/testdata/sf0.1 pytest tests/test_entry_oracle.py`)
+to catch scale-dependent edges: hash-bucket collisions, explode volumes,
+AQE plan flips. Round 3 ran the full contract green at sf0.001, sf0.01
+AND sf0.1."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
 import __spark_entry__ as entry_mod
 from tests.oracle_utils import assert_matches_oracle, duckdb_conn
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("KJP_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
