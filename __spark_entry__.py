@@ -239,6 +239,71 @@ def q_validate_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dead_letter_stats(docs, spec)
 
 
+_SHAPES_TTL = """
+@prefix t:  <http://example.org/transcript#> .
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+
+t:TurnShape
+    a sh:NodeShape ;
+    sh:targetClass t:Turn ;
+    sh:property [ sh:path t:text ; sh:minCount 1 ; ] ;
+    sh:property [ sh:path ( t:meta t:prov t:lsn ) ;
+                  sh:minCount 1 ; sh:maxCount 1 ; ] ;
+    sh:property [ sh:path [ sh:alternativePath ( t:text t:tool ) ] ;
+                  sh:minCount 1 ; ] ;
+    sh:property [ sh:path t:meta ; sh:node t:MetaShape ; ] .
+
+t:MetaShape
+    a sh:NodeShape ;
+    sh:property [ sh:path t:tool ; sh:minCount 1 ; ] .
+"""
+
+
+def q_validate_shacl_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal runtime-loaded shapes-graph path (JenaShaclStep.java:
+    59-71): a SHACL Turtle document — targetClass node shape, simple and
+    sequence paths, sh:alternativePath, a nested sh:node helper shape
+    (the ODRL-shape.ttl constructs, JenaShaclStepIT.java:58-81) — is
+    parsed and compiled onto the constructed nested document, then
+    violations are counted per reason."""
+    from kettle_jena_plugins_spark.operators.construct import (
+        PropertyMapping,
+        construct_doc,
+    )
+    from kettle_jena_plugins_spark.operators.shacl import shapes_from_ttl
+    from kettle_jena_plugins_spark.operators.validate import ValidationSpec
+
+    ch = change_events(spark, sf_dir)
+    ns = {"t": "http://example.org/transcript#"}
+    docs = construct_doc(
+        ch,
+        uri_prefix="ex:conv/",
+        uri_fields=["conv_id", "turn_idx"],
+        mappings=[
+            PropertyMapping("text", "t:text"),
+            PropertyMapping("tool", "t:tool"),
+            PropertyMapping(
+                None,
+                "t:meta",
+                children=(
+                    PropertyMapping("tool", "t:tool"),
+                    PropertyMapping(
+                        None,
+                        "t:prov",
+                        children=(PropertyMapping("lsn", "t:lsn"),),
+                    ),
+                ),
+            ),
+        ],
+        namespaces=ns,
+    )
+    shapes, any_of, constraints = shapes_from_ttl(_SHAPES_TTL, root="doc")
+    spec = ValidationSpec(
+        shapes=shapes, any_of=any_of, constraints=constraints
+    )
+    return dead_letter_stats(docs, spec)
+
+
 def q_group_merge_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-and-Merge over whole conversations: all five OtherFieldAction
     policies (USE_FIRST / USE_LAST / NULL_IF_DIFFERENT / SET_NULL / DROP)
@@ -742,6 +807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_final_op_counts": q_cdc_final_op_counts,
     "validate_dead_letter": q_validate_dead_letter,
     "validate_shapes": q_validate_shapes,
+    "validate_shacl_ttl": q_validate_shacl_ttl,
 }
 
 
@@ -1468,6 +1534,19 @@ SELECT reason, n FROM (
     UNION ALL
     SELECT 'any_of:doc.t_text|doc.t_meta.t_tool', COUNT(*)
     FROM flags WHERE text IS NULL AND tool IS NULL
+) WHERE n > 0
+""",
+    "validate_shacl_ttl": f"""
+WITH {CHANGES_ORACLE_CTE}
+SELECT reason, n FROM (
+    SELECT 'min_count:doc.t_text' AS reason, COUNT(*) AS n
+    FROM changes WHERE text IS NULL
+    UNION ALL
+    SELECT 'node:doc.t_meta.t_tool', COUNT(*)
+    FROM changes WHERE tool IS NULL
+    UNION ALL
+    SELECT 'any_of:doc.t_text|doc.t_tool', COUNT(*)
+    FROM changes WHERE text IS NULL AND tool IS NULL
 ) WHERE n > 0
 """,
 }

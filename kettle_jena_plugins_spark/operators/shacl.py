@@ -1,0 +1,284 @@
+"""SHACL shapes-graph loader — compile a Turtle shapes file into the
+engine's structural-validation spec.
+
+The reference loads an arbitrary SHACL shapes graph at runtime and
+validates whole models against it (JenaShaclStep.java:59-71; shape file
+with nested property shapes: JenaShaclStepIT.java:58-81, ODRL-shape.ttl).
+This module is the engine's analogue: a pragmatic parser for the SHACL
+subset those shapes exercise —
+
+  - ``sh:NodeShape`` declarations; only shapes carrying ``sh:targetClass``
+    emit constraints (helper shapes are reachable via ``sh:node`` only)
+  - ``sh:property [ sh:path <p> ; sh:minCount n ; sh:maxCount n ]``
+  - sequence paths ``sh:path ( p q r )`` → nested dotted paths
+  - ``sh:path [ sh:alternativePath ( p q ) ]`` with minCount ≥ 1 →
+    ``any_of`` group (sh:or-style alternative)
+  - ``sh:node <OtherShape>`` → the referenced shape's required paths are
+    inlined UNDER the property's path as null-safe SQL constraints
+    (fires only when the parent value exists — SHACL conformance is
+    vacuous for absent nodes)
+
+compiled onto columns named by the same alias rule the construct operator
+uses (``prefix:local`` → ``prefix_local``), so a shapes file written
+against a constructed document validates it directly:
+
+    shapes, any_of, constraints = shapes_from_ttl(ttl, root="doc")
+    spec = ValidationSpec(shapes=shapes, any_of=any_of,
+                          constraints=constraints, ...)
+
+Out-of-scope SHACL vocabulary (sh:class, sh:datatype, sh:nodeKind,
+sh:pattern …) is ignored, not an error — the reference's Jena delegates to
+a full SHACL engine; this engine validates the constraint kinds its rows
+can express (presence/cardinality/alternatives over nested columns).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .validate import PathShape
+
+SH = "http://www.w3.org/ns/shacl#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_TOKEN = re.compile(
+    r"""
+    <[^>]*>            # <uri>
+  | \"[^\"]*\"         # "string"
+  | \[ | \] | \( | \)
+  | ;\s | \.\s | \.$ | ;$
+  | [^\s;\[\]()]+      # qname / number / 'a'
+    """,
+    re.VERBOSE,
+)
+
+
+def _strip_comments(ttl: str) -> str:
+    out = []
+    for line in ttl.splitlines():
+        buf, in_uri = [], False
+        for ch in line:
+            if ch == "<":
+                in_uri = True
+            elif ch == ">":
+                in_uri = False
+            elif ch == "#" and not in_uri:
+                break
+            buf.append(ch)
+        out.append("".join(buf))
+    return "\n".join(out)
+
+
+def _tokenize(ttl: str) -> list[str]:
+    # pad terminators so '.'/';' split from qnames (qnames here don't end
+    # in '.'; the shapes subset never uses decimal literals)
+    txt = _strip_comments(ttl)
+    toks = []
+    for raw in _TOKEN.findall(txt + "\n"):
+        t = raw.strip()
+        if t:
+            toks.append(t)
+    return toks
+
+
+class _Parser:
+    """Recursive-descent parser for the Turtle subset shapes files use:
+    prefixed names, <uris>, integers, `a`, blank nodes `[...]`,
+    collections `(...)`, predicate-object lists with `;`, statements with
+    `.`. Produces: {subject: [(pred, obj), ...]} where obj is a str
+    (expanded URI), int, list (collection), or dict (blank node)."""
+
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.subjects: dict[str, list[tuple[str, object]]] = {}
+
+    def _peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _expand(self, t: str) -> str:
+        if t.startswith("<") and t.endswith(">"):
+            return t[1:-1]
+        if t == "a":
+            return RDF_TYPE
+        if ":" in t:
+            p, local = t.split(":", 1)
+            if p in self.prefixes:
+                return self.prefixes[p] + local
+        return t
+
+    def parse(self) -> "_Parser":
+        while self._peek() is not None:
+            t = self._peek()
+            if t in (".", ";"):
+                self._next()
+                continue
+            if t == "@prefix":
+                self._next()
+                name = self._next().rstrip(":")
+                uri = self._next()
+                self.prefixes[name] = uri[1:-1]
+                if self._peek() == ".":
+                    self._next()
+                continue
+            subj = self._expand(self._next())
+            self.subjects.setdefault(subj, []).extend(self._po_list("."))
+        return self
+
+    def _po_list(self, end: str) -> list[tuple[str, object]]:
+        """predicate-object pairs until `end` ('.' or ']') is consumed."""
+        pairs: list[tuple[str, object]] = []
+        while True:
+            t = self._peek()
+            if t is None:
+                return pairs
+            if t == end:
+                self._next()
+                return pairs
+            if t == ";":
+                self._next()
+                continue
+            pred = self._expand(self._next())
+            pairs.append((pred, self._object()))
+        return pairs
+
+    def _object(self):
+        t = self._peek()
+        if t == "[":
+            self._next()
+            return dict_of(self._po_list("]"))
+        if t == "(":
+            self._next()
+            items = []
+            while self._peek() not in (")", None):
+                items.append(self._object())
+            if self._peek() == ")":
+                self._next()
+            return items
+        t = self._next()
+        if re.fullmatch(r"-?\d+", t):
+            return int(t)
+        if t.startswith('"'):
+            return t[1:-1]
+        return self._expand(t)
+
+
+def dict_of(pairs: list[tuple[str, object]]) -> dict:
+    d: dict = {}
+    for k, v in pairs:
+        d.setdefault(k, []).append(v)
+    return d
+
+
+def _local_segment(uri: str, prefixes: dict[str, str]) -> str:
+    """URI → column segment, matching the construct alias rule
+    (`prefix:local` → `prefix_local`); unprefixed URIs use the local name."""
+    for p, u in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+        if uri.startswith(u):
+            return f"{p}_{uri[len(u):]}"
+    return re.split(r"[#/]", uri)[-1]
+
+
+def _join(root: str, segs: list[str]) -> str:
+    return ".".join(([root] if root else []) + segs)
+
+
+def shapes_from_ttl(
+    ttl: str,
+    root: str = "",
+    path_map: dict[str, str] | None = None,
+) -> tuple[
+    tuple[PathShape, ...],
+    tuple[tuple[str, ...], ...],
+    tuple[tuple[str, str], ...],
+]:
+    """Compile a shapes file → (shapes, any_of, constraints) for
+    ValidationSpec. `root` prefixes every path (e.g. "doc" for shapes
+    over a constructed document column); `path_map` overrides the
+    URI→segment rule per property URI."""
+    p = _Parser(_tokenize(ttl)).parse()
+    path_map = path_map or {}
+
+    def seg(uri: str) -> str:
+        return path_map.get(uri, _local_segment(uri, p.prefixes))
+
+    by_subject = {s: dict_of(po) for s, po in p.subjects.items()}
+    node_shapes = {
+        s: d
+        for s, d in by_subject.items()
+        if SH + "NodeShape" in d.get(RDF_TYPE, [])
+    }
+
+    shapes: list[PathShape] = []
+    any_of: list[tuple[str, ...]] = []
+    constraints: list[tuple[str, str]] = []
+
+    def required_children(ref: str) -> list[str]:
+        """Dotted child paths a referenced helper shape requires."""
+        out = []
+        for prop in node_shapes.get(ref, {}).get(SH + "property", []):
+            path = prop.get(SH + "path", [None])[0]
+            if prop.get(SH + "minCount", [0])[0] >= 1 and isinstance(
+                path, str
+            ):
+                out.append(seg(path))
+        return out
+
+    def emit(prop: dict) -> None:
+        path = prop.get(SH + "path", [None])[0]
+        min_c = prop.get(SH + "minCount", [None])[0]
+        max_c = prop.get(SH + "maxCount", [None])[0]
+        node_ref = prop.get(SH + "node", [None])[0]
+        if isinstance(path, dict) and SH + "alternativePath" in path:
+            alts = [seg(u) for u in path[SH + "alternativePath"][0]]
+            if min_c and min_c >= 1:
+                any_of.append(tuple(_join(root, [a]) for a in alts))
+            if node_ref:
+                for a in alts:
+                    base = _join(root, [a])
+                    for child in required_children(node_ref):
+                        constraints.append(
+                            (
+                                f"node:{base}.{child}",
+                                f"{base} IS NOT NULL AND "
+                                f"{base}.{child} IS NULL",
+                            )
+                        )
+            return
+        segs = (
+            [seg(u) for u in path]
+            if isinstance(path, list)
+            else [seg(path)]
+            if isinstance(path, str)
+            else None
+        )
+        if segs is None:
+            return
+        dotted = _join(root, segs)
+        if min_c is not None or max_c is not None:
+            shapes.append(
+                PathShape(dotted, min_count=min_c or 0, max_count=max_c)
+            )
+        if node_ref:
+            for child in required_children(node_ref):
+                constraints.append(
+                    (
+                        f"node:{dotted}.{child}",
+                        f"{dotted} IS NOT NULL AND {dotted}.{child} IS NULL",
+                    )
+                )
+
+    for s, d in node_shapes.items():
+        if SH + "targetClass" not in d:
+            continue  # helper shape: reachable via sh:node only
+        for prop in d.get(SH + "property", []):
+            if isinstance(prop, dict):
+                emit(prop)
+
+    return tuple(shapes), tuple(any_of), tuple(constraints)

@@ -73,15 +73,24 @@ class ValidationSpec:
     any_of: tuple[tuple[str, ...], ...] = ()
 
 
-def _violation_checks(spec: ValidationSpec) -> list[tuple[str, Column]]:
+def _violation_checks(
+    spec: ValidationSpec, columns: list[str] | None = None
+) -> list[tuple[str, Column]]:
     checks: list[tuple[str, Column]] = []
     for k in spec.require_keys:
         checks.append((f"null_key:{k}", F.col(k).isNull()))
     if spec.require_ts:
         checks.append(("null_ts", F.col("ts").isNull()))
-    checks.append(
-        ("bad_op", ~F.col("op").isin(list(spec.valid_ops)) | F.col("op").isNull())
-    )
+    if columns is None or "op" in columns:
+        # the change-event envelope check; skipped for non-event frames
+        # (shape validation over constructed documents has no op column)
+        checks.append(
+            (
+                "bad_op",
+                ~F.col("op").isin(list(spec.valid_ops))
+                | F.col("op").isNull(),
+            )
+        )
     for reason, predicate in spec.constraints:
         # null-safe: a predicate evaluating to NULL is not a violation
         checks.append((reason, F.coalesce(F.expr(predicate), F.lit(False))))
@@ -132,7 +141,9 @@ def _shape_checks(
 def with_violations(events: DataFrame, spec: ValidationSpec | None = None) -> DataFrame:
     """Append a `violations: array<string>` column (empty = conforming row)."""
     spec = spec or ValidationSpec()
-    checks = _violation_checks(spec) + _shape_checks(events.schema, spec)
+    checks = _violation_checks(spec, events.columns) + _shape_checks(
+        events.schema, spec
+    )
     arr = F.array_compact(
         F.array(*[F.when(cond, F.lit(name)) for name, cond in checks])
     )

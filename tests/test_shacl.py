@@ -1,0 +1,147 @@
+"""SHACL shapes-file loader: the runtime-loaded shapes-graph analogue
+(JenaShaclStep.java:59-71; nested property shapes as in
+JenaShaclStepIT.java:58-81 / ODRL-shape.ttl) compiled onto nested doc
+columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kettle_jena_plugins_spark.operators.shacl import shapes_from_ttl
+from kettle_jena_plugins_spark.operators.validate import (
+    PathShape,
+    ValidationSpec,
+    dead_letter_stats,
+)
+
+# mirrors the ODRL shape file's *structure* (targetClass shape, simple
+# min/max property, sequence path, alternativePath, sh:node helper shape)
+# over this engine's transcript vocabulary
+SHAPES_TTL = """
+@prefix t:  <http://example.org/transcript#> .
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+
+t:TurnShape
+    a sh:NodeShape ;
+    sh:targetClass t:Turn ;
+
+    # there must always be text
+    sh:property [
+        sh:path t:text ;
+        sh:minCount 1 ;
+    ] ;
+
+    # doubly-nested provenance lsn (sequence path)
+    sh:property [
+        sh:path ( t:meta t:prov t:lsn ) ;
+        sh:minCount 1 ;
+        sh:maxCount 1 ;
+    ] ;
+
+    # at least one of text / tool (alternative path)
+    sh:property [
+        sh:path [
+            sh:alternativePath ( t:text t:metatool )
+        ] ;
+        sh:minCount 1 ;
+    ] ;
+
+    # any present meta substructure must carry a tool (nested node shape)
+    sh:property [
+        sh:path t:meta ;
+        sh:node t:MetaShape ;
+    ] .
+
+t:MetaShape
+    a sh:NodeShape ;
+    sh:property [
+        sh:path t:tool ;
+        sh:minCount 1 ;
+    ] .
+"""
+
+
+def test_compile_shapes_subset():
+    shapes, any_of, constraints = shapes_from_ttl(SHAPES_TTL, root="doc")
+    assert PathShape("doc.t_text", min_count=1, max_count=None) in shapes
+    assert (
+        PathShape("doc.t_meta.t_prov.t_lsn", min_count=1, max_count=1)
+        in shapes
+    )
+    assert ("doc.t_text", "doc.t_metatool") in any_of
+    assert constraints == (
+        (
+            "node:doc.t_meta.t_tool",
+            "doc.t_meta IS NOT NULL AND doc.t_meta.t_tool IS NULL",
+        ),
+    )
+
+
+def test_helper_shape_emits_nothing_standalone():
+    shapes, any_of, constraints = shapes_from_ttl(SHAPES_TTL)
+    # MetaShape has no targetClass: its t_tool requirement appears ONLY as
+    # the inlined node constraint, never as a standalone PathShape
+    assert not any(s.path.endswith("t_tool") for s in shapes)
+
+
+def test_shapes_ttl_validates_constructed_docs(spark):
+    """End-to-end: shapes file → ValidationSpec → dead-letter stats over a
+    constructed nested document, vacuous for absent meta nodes."""
+    from kettle_jena_plugins_spark.operators.construct import (
+        PropertyMapping,
+        construct_doc,
+    )
+
+    ns = {"t": "http://example.org/transcript#"}
+    df = spark.createDataFrame(
+        [
+            # (id, text, tool, lsn): r1 conforms fully
+            ("r1", "hi", "bash", 1),
+            ("r2", None, "grep", 2),  # text missing → min_count + not any_of
+            ("r3", "yo", None, 3),  # meta present but tool null → node:
+        ],
+        "id string, text string, tool string, lsn long",
+    )
+    docs = construct_doc(
+        df,
+        uri_prefix="ex:",
+        uri_fields=["id"],
+        mappings=[
+            PropertyMapping("text", "t:text"),
+            PropertyMapping("tool", "t:metatool"),
+            PropertyMapping(
+                None,
+                "t:meta",
+                children=(
+                    PropertyMapping("tool", "t:tool"),
+                    PropertyMapping(
+                        None,
+                        "t:prov",
+                        children=(PropertyMapping("lsn", "t:lsn"),),
+                    ),
+                ),
+            ),
+        ],
+        namespaces=ns,
+    )
+    shapes, any_of, constraints = shapes_from_ttl(SHAPES_TTL, root="doc")
+    spec = ValidationSpec(
+        require_keys=(),
+        require_ts=False,
+        shapes=shapes,
+        any_of=any_of,
+        constraints=constraints,
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(docs, spec).collect()
+    }
+    # r2: text null → min_count:doc.t_text; metatool (tool col) non-null so
+    # the any_of group is satisfied by the alternative
+    assert stats["min_count:doc.t_text"] == 1
+    assert "any_of:doc.t_text|doc.t_metatool" not in stats
+    # r3: meta exists, tool null → the inlined node-shape constraint
+    assert stats["node:doc.t_meta.t_tool"] == 1
+    # prov lsn always present
+    assert not any("t_prov" in k for k in stats)
+    # bad_op/null checks disabled via spec; only shape reasons remain
+    assert set(stats) == {"min_count:doc.t_text", "node:doc.t_meta.t_tool"}
