@@ -749,6 +749,31 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk boundaries (Rabin/winnowing-style k-gram
+    rolling-hash cut points — the chunk-granularity dedup primitive):
+    boundaries where the 8-byte window hash ≡ 0 (mod 64), computed from
+    vectorized prefix-hash differences; the oracle recomputes every
+    window with DuckDB HUGEINT list_reduce."""
+    from kettle_jena_plugins_spark.operators.text import content_chunk_bounds
+
+    b = content_chunk_bounds(8, 63)(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("b", b)
+        .select(
+            "doc_id",
+            F.when(F.col("b").isNotNull(), F.size("b")).alias(
+                "n_chunk_bounds"
+            ),
+            F.when(
+                F.col("b").isNotNull(),
+                F.md5(F.concat_ws(",", F.col("b").cast("array<string>"))),
+            ).alias("bounds_md5"),
+        )
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kettle_jena_plugins_spark.operators.multimodal import (
         extract_features,
@@ -787,6 +812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": q_curation_pipeline,
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "content_chunks": q_content_chunks,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "group_merge_policies": q_group_merge_policies,
@@ -1159,6 +1185,45 @@ SELECT doc_id,
            (acc, b) -> (acc * 257 + b) % 2305843009213693951
        ) AS BIGINT) END AS fp
 FROM documents
+""",
+    "content_chunks": """
+WITH bytes AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
+               list_transform(generate_series(1, octet_length(encode(text))),
+                   i -> CAST(('0x' || substr(hex(encode(text)), 2 * i - 1, 2)
+                             )::INTEGER AS HUGEINT))
+           END AS bs
+    FROM documents
+),
+bounds AS (
+    SELECT doc_id,
+           CASE WHEN bs IS NULL THEN NULL
+                WHEN len(bs) < 8 THEN []
+                ELSE list_filter(
+                    list_transform(generate_series(1, len(bs) - 7),
+                        i -> CASE WHEN
+                                list_reduce(
+                                    list_prepend(CAST(0 AS HUGEINT),
+                                                 bs[i:i+7]),
+                                    (acc, b) -> (acc * 257 + b)
+                                                % 2305843009213693951
+                                ) % 64 = 0
+                             THEN i + 7 ELSE NULL END),
+                    x -> x IS NOT NULL)
+           END AS ends
+    FROM bytes
+)
+SELECT doc_id,
+       CASE WHEN ends IS NULL THEN NULL
+            ELSE CAST(len(ends) AS INTEGER) END AS n_chunk_bounds,
+       CASE WHEN ends IS NULL THEN NULL
+            -- array_to_string([]) is NULL in DuckDB, not '' (Spark's
+            -- concat_ws over an empty array IS '')
+            ELSE md5(coalesce(array_to_string(
+                     list_transform(ends, x -> CAST(x AS VARCHAR)), ','), ''))
+       END AS bounds_md5
+FROM bounds
 """,
     "text_profile": f"""
 WITH base AS (

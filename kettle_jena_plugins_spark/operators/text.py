@@ -115,15 +115,13 @@ def shingle_fingerprint_df(
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
-@pandas_udf(T.LongType())
-def rolling_fingerprint(texts: pd.Series) -> pd.Series:
-    """Polynomial rolling hash over UTF-8 bytes mod 2^61-1 (Mersenne prime),
-    numpy-vectorized: one Horner step per BYTE POSITION over the whole batch
-    (a (n_rows × max_len) byte matrix), not per row. h*257 would overflow
-    uint64, so the multiply runs in 32-bit limbs and the 2^61 overflow folds
-    via the Mersenne identity 2^61 ≡ 1 (mod M) — bit-for-bit identical to
-    the scalar h = (h*257 + byte) % M, which the DuckDB HUGEINT
-    list_reduce oracle reproduces."""
+def _prefix_hashes(texts: "pd.Series"):
+    """Shared vectorized core: per-batch padded byte matrix + polynomial
+    prefix hashes mod 2^61-1 (one Horner step per byte POSITION over all
+    rows; 32-bit limb multiply, Mersenne fold — see rolling_fingerprint).
+    Returns (valid_mask, lens, prefix_matrix[n, maxlen+1]) — prefix[:, j]
+    is the hash of the first j bytes; positions past a row's length hold
+    garbage and must be masked by the caller."""
     import numpy as np
 
     M = np.uint64((1 << 61) - 1)
@@ -133,26 +131,108 @@ def rolling_fingerprint(texts: pd.Series) -> pd.Series:
 
     valid = texts.notna().to_numpy()
     enc = [t.encode("utf-8") for t in texts[valid]]
-    out = np.zeros(len(texts), dtype="uint64")
-    if enc:
-        lens = np.array([len(e) for e in enc], dtype="int64")
-        blob = np.frombuffer(b"".join(enc), dtype=np.uint8).astype("uint64")
-        n, maxlen = len(enc), int(lens.max())
-        # row-major masked fill == concatenation order
-        mask = np.arange(maxlen)[None, :] < lens[:, None]
-        pad = np.zeros((n, maxlen), dtype="uint64")
-        pad[mask] = blob
-        h = np.zeros(n, dtype="uint64")
-        for j in range(maxlen):
-            hi, lo = h >> np.uint64(32), h & LOW32
-            a = hi * BASE  # < 2^38
-            # a<<32 mod M: fold the bits above 2^61 (Mersenne: 2^61 ≡ 1)
-            top = (a >> np.uint64(29)) + ((a & LOW29) << np.uint64(32))
-            tot = top + lo * BASE + pad[:, j]  # < 2^62: uint64-safe
-            tot = (tot >> np.uint64(61)) + (tot & M)
-            tot = np.where(tot >= M, tot - M, tot)
-            h = np.where(mask[:, j], tot, h)
-        out[valid] = h
-    res = pd.Series(out.astype("int64"), index=texts.index, dtype="object")
-    res[~valid] = None
+    if not enc:
+        return valid, None, None
+    lens = np.array([len(e) for e in enc], dtype="int64")
+    blob = np.frombuffer(b"".join(enc), dtype=np.uint8).astype("uint64")
+    n, maxlen = len(enc), int(lens.max()) if len(lens) else 0
+    mask = np.arange(maxlen)[None, :] < lens[:, None]
+    pad = np.zeros((n, maxlen), dtype="uint64")
+    pad[mask] = blob
+    P = np.zeros((n, maxlen + 1), dtype="uint64")
+    h = np.zeros(n, dtype="uint64")
+    for j in range(maxlen):
+        hi, lo = h >> np.uint64(32), h & LOW32
+        a = hi * BASE
+        top = (a >> np.uint64(29)) + ((a & LOW29) << np.uint64(32))
+        tot = top + lo * BASE + pad[:, j]
+        tot = (tot >> np.uint64(61)) + (tot & M)
+        h = np.where(tot >= M, tot - M, tot)
+        P[:, j + 1] = h
+    return valid, lens, P
+
+
+def _mulmod_const(a, c: int):
+    """(a * c) mod 2^61-1 for uint64 arrays a < M and constant c < M —
+    31/30-bit limb products, each < 2^62, folded via 2^61 ≡ 1."""
+    import numpy as np
+
+    M = np.uint64((1 << 61) - 1)
+    a1, a0 = a >> np.uint64(31), a & np.uint64((1 << 31) - 1)
+    c1, c0 = np.uint64(c >> 31), np.uint64(c & ((1 << 31) - 1))
+
+    def fold(x):
+        x = (x >> np.uint64(61)) + (x & M)
+        return np.where(x >= M, x - M, x)
+
+    # a*c = a1c1·2^62 + (a1c0 + a0c1)·2^31 + a0c0; 2^62 ≡ 2
+    t = fold(a1 * c1 * np.uint64(2))
+
+    def shift31(x):  # x·2^31 mod M for x < 2^61
+        return (x >> np.uint64(30)) + ((x & np.uint64((1 << 30) - 1)) << np.uint64(31))
+
+    t = fold(t + fold(shift31(a1 * c0)))
+    t = fold(t + fold(shift31(a0 * c1)))
+    return fold(t + fold(a0 * c0))
+
+
+def content_chunk_bounds(k: int = 8, boundary_mask: int = 63):
+    """Content-defined chunk boundaries (Rabin/winnowing-style, the
+    chunk-granularity dedup primitive for training pipelines): a boundary
+    ends at 1-based byte position e when the k-gram polynomial hash of
+    bytes [e-k, e) satisfies hash & boundary_mask == 0 (expected chunk ≈
+    boundary_mask+1 bytes). Window hashes come from prefix differences —
+    W[i] = P[i+k] - P[i]·257^k (mod 2^61-1) — so the whole batch is two
+    matrix ops after the shared prefix pass; no per-row hashing.
+
+    Returns a pandas UDF: text → array<int> of boundary end positions
+    (null text → null; shorter than k bytes → empty array)."""
+    import numpy as np
+
+    M = (1 << 61) - 1
+    bk = pow(257, k, M)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _bounds(texts: pd.Series) -> pd.Series:
+        valid, lens, P = _prefix_hashes(texts)
+        out = pd.Series([None] * len(texts), index=texts.index, dtype="object")
+        if P is None:
+            return out
+        maxlen = P.shape[1] - 1
+        res: list[list[int] | None] = []
+        if maxlen >= k:
+            # W[:, c] = hash of window starting at byte c (0-based)
+            diff = P[:, k:] + np.uint64(M) - _mulmod_const(P[:, :-k], bk)
+            diff = (diff >> np.uint64(61)) + (diff & np.uint64(M))
+            W = np.where(diff >= M, diff - np.uint64(M), diff)
+            ends = np.arange(k, maxlen + 1)  # 1-based end per column
+            hit = (W & np.uint64(boundary_mask) == 0) & (
+                ends[None, :] <= lens[:, None]
+            )
+            for i in range(len(lens)):
+                res.append([int(e) for e in ends[hit[i]]])
+        else:
+            res = [[] for _ in lens]
+        out[valid] = pd.Series(res, index=out.index[valid], dtype="object")
+        return out
+
+    return _bounds
+
+
+@pandas_udf(T.LongType())
+def rolling_fingerprint(texts: pd.Series) -> pd.Series:
+    """Polynomial rolling hash over UTF-8 bytes mod 2^61-1 (Mersenne prime),
+    numpy-vectorized: one Horner step per BYTE POSITION over the whole batch
+    (the shared _prefix_hashes core), not per row. Bit-for-bit identical to
+    the scalar h = (h*257 + byte) % M, which the DuckDB HUGEINT
+    list_reduce oracle reproduces."""
+    import numpy as np
+
+    valid, lens, P = _prefix_hashes(texts)
+    res = pd.Series([None] * len(texts), index=texts.index, dtype="object")
+    if P is not None:
+        h = P[np.arange(len(lens)), lens]  # hash of each row's full bytes
+        res[valid] = pd.Series(
+            h.astype("int64"), index=res.index[valid], dtype="object"
+        )
     return res

@@ -213,6 +213,58 @@ def test_rolling_fingerprint_edge_cases(spark):
         assert got[i] == h
 
 
+def test_content_chunk_bounds_matches_scalar_reference(spark):
+    """Content-defined chunking: the prefix-difference window hashes must
+    equal the scalar per-window Horner hash, and boundary selection must
+    match, incl. nulls / short / empty texts."""
+    from kettle_jena_plugins_spark.operators.text import content_chunk_bounds
+
+    k, bmask = 4, 15
+    MOD0, BASE0 = (1 << 61) - 1, 257
+
+    def whash(s):
+        h = 0
+        for b in s.encode("utf-8"):
+            h = (h * BASE0 + b) % MOD0
+        return h
+
+    # brute-force a 4-letter window that IS a boundary, so at least one
+    # row deterministically produces one
+    import itertools
+
+    magic = next(
+        "".join(c)
+        for c in itertools.product("abcdefghijklmnopqrstuvwxyz", repeat=4)
+        if whash("".join(c)) & bmask == 0
+    )
+    vals = [None, "", "abc", f"xx{magic}yy", "héllo wörld ☃ " * 25]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, t string"
+    )
+    got = {
+        r["i"]: r["b"]
+        for r in df.select(
+            "i", content_chunk_bounds(k, bmask)(F.col("t")).alias("b")
+        ).collect()
+    }
+    MOD, BASE = (1 << 61) - 1, 257
+    for i, v in enumerate(vals):
+        if v is None:
+            assert got[i] is None
+            continue
+        bs = v.encode("utf-8")
+        want = []
+        for s in range(len(bs) - k + 1):
+            h = 0
+            for b in bs[s : s + k]:
+                h = (h * BASE + b) % MOD
+            if h & bmask == 0:
+                want.append(s + k)
+        assert got[i] == want, f"row {i}"
+    # the crafted row deterministically has its boundary at end position 6
+    assert 6 in got[3]
+
+
 def test_multimodal_plumbing(spark):
     from kettle_jena_plugins_spark.operators.multimodal import (
         FEATURE_SCHEMA,
