@@ -93,6 +93,7 @@ def q_cdc_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     then read the committed final state back. Oracle = the same
     one-shot LWW SQL as cdc_lww_state — promoting the
     streaming≡batch equivalence from pytest to the hash-checked gate."""
+    import shutil
     import tempfile
 
     from kettle_jena_plugins_spark.streaming.apply import CDCConfig, run_stream
@@ -103,7 +104,11 @@ def q_cdc_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not throughput — cdc_apply in bench.py measures that. A quarter of
     # the stream keeps every op type and multi-event keys at every sf.
     ch = change_events(spark, sf_dir).filter(F.col("lsn") % 4 == 0)
-    base = tempfile.mkdtemp(prefix="cdc_streaming_state_")
+    # fixed scratch root, wiped per run: repeated contract/bench runs must
+    # not accumulate WAL+checkpoint+table copies in /tmp (the returned
+    # DataFrame stays lazy over these files, so they can't be removed here)
+    base = f"{tempfile.gettempdir()}/kjp_cdc_streaming_state"
+    shutil.rmtree(base, ignore_errors=True)
     wal, ckpt, tbl = f"{base}/wal", f"{base}/ckpt", f"{base}/tbl"
     for i in range(3):  # interleaved segments: out-of-order across batches
         ch.filter(F.col("lsn") % 3 == i).coalesce(1).write.mode(

@@ -52,7 +52,10 @@ def xsd_integer(col: Column) -> Column:
 
 def xsd_decimal(col: Column, scale: int = 6) -> Column:
     # decimal cast (not format_number): grouping commas are invalid in an
-    # xsd:decimal lexical form, and a parser would reject "1,234.50"
+    # xsd:decimal lexical form, and a parser would reject "1,234.50".
+    # Magnitudes beyond decimal(38,scale) (≥1e32 at the default scale)
+    # null out — the module's range-gate convention, routed by ActionIfNull
+    # like every other gated type
     return _typed(col.try_cast(f"decimal(38,{scale})").cast("string"), "decimal")
 
 
@@ -84,6 +87,10 @@ def xsd_datetime(col: Column, offset: str | None = None) -> Column:
         raise ValueError(f"offset must look like +HH:MM, got {offset!r}")
     sign = 1 if offset[0] == "+" else -1
     hh, mm = int(offset[1:3]), int(offset[4:6])
+    # XSD bounds zone offsets to ±14:00 with minutes < 60 — an
+    # out-of-range offset would render an invalid lexical form
+    if mm > 59 or hh > 14 or (hh == 14 and mm != 0):
+        raise ValueError(f"offset out of XSD range (±14:00): {offset!r}")
     shifted = ts + F.expr(
         f"INTERVAL '{sign * (hh * 60 + mm)}' MINUTE"
     )

@@ -56,27 +56,41 @@ _TOKEN = re.compile(
 def _strip_comments(ttl: str) -> str:
     out = []
     for line in ttl.splitlines():
-        buf, in_uri = [], False
+        buf, in_uri, in_str = [], False, False
         for ch in line:
-            if ch == "<":
-                in_uri = True
-            elif ch == ">":
-                in_uri = False
-            elif ch == "#" and not in_uri:
-                break
+            if ch == '"':
+                in_str = not in_str
+            elif not in_str:
+                if ch == "<":
+                    in_uri = True
+                elif ch == ">":
+                    in_uri = False
+                elif ch == "#" and not in_uri:
+                    break
             buf.append(ch)
         out.append("".join(buf))
     return "\n".join(out)
 
 
 def _tokenize(ttl: str) -> list[str]:
-    # pad terminators so '.'/';' split from qnames (qnames here don't end
-    # in '.'; the shapes subset never uses decimal literals)
     txt = _strip_comments(ttl)
     toks = []
     for raw in _TOKEN.findall(txt + "\n"):
         t = raw.strip()
-        if t:
+        if not t:
+            continue
+        # Turtle's statement terminator may abut the object ('t:Shape.'
+        # or 'sh:minCount 1.'): a trailing '.' is never part of a qname
+        # or integer in this subset, so split it back out as its own token
+        if (
+            len(t) > 1
+            and t.endswith(".")
+            and not t.startswith("<")
+            and not t.startswith('"')
+        ):
+            toks.append(t[:-1])
+            toks.append(".")
+        else:
             toks.append(t)
     return toks
 
@@ -141,7 +155,9 @@ class _Parser:
             if t == end:
                 self._next()
                 return pairs
-            if t == ";":
+            if t == ";" or (t == "." and end == "]"):
+                # ';' separates pairs; a stray '.' inside a blank node
+                # (hand-written 'sh:minCount 1.') is tolerated likewise
                 self._next()
                 continue
             pred = self._expand(self._next())

@@ -115,13 +115,47 @@ def shingle_fingerprint_df(
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
-def _prefix_hashes(texts: "pd.Series"):
-    """Shared vectorized core: per-batch padded byte matrix + polynomial
-    prefix hashes mod 2^61-1 (one Horner step per byte POSITION over all
-    rows; 32-bit limb multiply, Mersenne fold — see rolling_fingerprint).
-    Returns (valid_mask, lens, prefix_matrix[n, maxlen+1]) — prefix[:, j]
-    is the hash of the first j bytes; positions past a row's length hold
-    garbage and must be masked by the caller."""
+def _length_groups(texts: "pd.Series"):
+    """Shared batching core: UTF-8 encode the non-null rows, then bucket
+    them by byte-length power of two so each group pads to ITS OWN max —
+    padding overhead stays < 2× the group's real bytes and one long
+    outlier among short rows can't inflate the whole batch's matrices
+    to O(rows × outlier_len) (executor-OOM / anti-scale hazard).
+
+    Returns (valid_mask, groups) where each group is
+    (positions_in_valid_subset, lens_g, pad_g[n_g, maxlen_g])."""
+    import numpy as np
+
+    valid = texts.notna().to_numpy()
+    enc = [t.encode("utf-8") for t in texts[valid]]
+    if not enc:
+        return valid, []
+    lens = np.array([len(e) for e in enc], dtype="int64")
+    buckets = np.where(lens > 0, np.ceil(np.log2(np.maximum(lens, 1))), -1)
+    groups = []
+    for b in np.unique(buckets):
+        pos = np.nonzero(buckets == b)[0]
+        lens_g = lens[pos]
+        maxlen = int(lens_g.max())
+        pad = np.zeros((len(pos), maxlen), dtype="uint64")
+        if maxlen:
+            blob = np.frombuffer(
+                b"".join(enc[i] for i in pos), dtype=np.uint8
+            ).astype("uint64")
+            mask = np.arange(maxlen)[None, :] < lens_g[:, None]
+            pad[mask] = blob  # row-major fill == concatenation order
+        groups.append((pos, lens_g, pad))
+    return valid, groups
+
+
+def _horner_pass(pad, lens, keep_prefixes: bool):
+    """Polynomial prefix hashes mod 2^61-1: one Horner step per byte
+    POSITION over the group (32-bit limb multiply; the 2^61 overflow folds
+    via the Mersenne identity 2^61 ≡ 1 — bit-for-bit the scalar
+    h = (h*257 + byte) % M). keep_prefixes=True returns the full
+    (n, maxlen+1) prefix matrix (positions past a row's length hold
+    garbage the caller must mask); False returns only each row's final
+    hash (O(n) memory)."""
     import numpy as np
 
     M = np.uint64((1 << 61) - 1)
@@ -129,17 +163,8 @@ def _prefix_hashes(texts: "pd.Series"):
     LOW32 = np.uint64(0xFFFFFFFF)
     LOW29 = np.uint64((1 << 29) - 1)
 
-    valid = texts.notna().to_numpy()
-    enc = [t.encode("utf-8") for t in texts[valid]]
-    if not enc:
-        return valid, None, None
-    lens = np.array([len(e) for e in enc], dtype="int64")
-    blob = np.frombuffer(b"".join(enc), dtype=np.uint8).astype("uint64")
-    n, maxlen = len(enc), int(lens.max()) if len(lens) else 0
-    mask = np.arange(maxlen)[None, :] < lens[:, None]
-    pad = np.zeros((n, maxlen), dtype="uint64")
-    pad[mask] = blob
-    P = np.zeros((n, maxlen + 1), dtype="uint64")
+    n, maxlen = pad.shape
+    P = np.zeros((n, maxlen + 1), dtype="uint64") if keep_prefixes else None
     h = np.zeros(n, dtype="uint64")
     for j in range(maxlen):
         hi, lo = h >> np.uint64(32), h & LOW32
@@ -147,9 +172,11 @@ def _prefix_hashes(texts: "pd.Series"):
         top = (a >> np.uint64(29)) + ((a & LOW29) << np.uint64(32))
         tot = top + lo * BASE + pad[:, j]
         tot = (tot >> np.uint64(61)) + (tot & M)
-        h = np.where(tot >= M, tot - M, tot)
-        P[:, j + 1] = h
-    return valid, lens, P
+        tot = np.where(tot >= M, tot - M, tot)
+        h = np.where(j < lens, tot, h)  # freeze each row at its length
+        if P is not None:
+            P[:, j + 1] = tot
+    return h, P
 
 
 def _mulmod_const(a, c: int):
@@ -194,25 +221,28 @@ def content_chunk_bounds(k: int = 8, boundary_mask: int = 63):
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def _bounds(texts: pd.Series) -> pd.Series:
-        valid, lens, P = _prefix_hashes(texts)
+        valid, groups = _length_groups(texts)
         out = pd.Series([None] * len(texts), index=texts.index, dtype="object")
-        if P is None:
+        if not groups:
             return out
-        maxlen = P.shape[1] - 1
-        res: list[list[int] | None] = []
-        if maxlen >= k:
+        res: list[list[int] | None] = [None] * int(valid.sum())
+        for pos, lens_g, pad in groups:
+            maxlen = pad.shape[1]
+            if maxlen < k:
+                for p in pos:
+                    res[p] = []
+                continue
+            _, P = _horner_pass(pad, lens_g, keep_prefixes=True)
             # W[:, c] = hash of window starting at byte c (0-based)
             diff = P[:, k:] + np.uint64(M) - _mulmod_const(P[:, :-k], bk)
             diff = (diff >> np.uint64(61)) + (diff & np.uint64(M))
             W = np.where(diff >= M, diff - np.uint64(M), diff)
             ends = np.arange(k, maxlen + 1)  # 1-based end per column
             hit = (W & np.uint64(boundary_mask) == 0) & (
-                ends[None, :] <= lens[:, None]
+                ends[None, :] <= lens_g[:, None]
             )
-            for i in range(len(lens)):
-                res.append([int(e) for e in ends[hit[i]]])
-        else:
-            res = [[] for _ in lens]
+            for gi, p in enumerate(pos):
+                res[p] = [int(e) for e in ends[hit[gi]]]
         out[valid] = pd.Series(res, index=out.index[valid], dtype="object")
         return out
 
@@ -222,17 +252,21 @@ def content_chunk_bounds(k: int = 8, boundary_mask: int = 63):
 @pandas_udf(T.LongType())
 def rolling_fingerprint(texts: pd.Series) -> pd.Series:
     """Polynomial rolling hash over UTF-8 bytes mod 2^61-1 (Mersenne prime),
-    numpy-vectorized: one Horner step per BYTE POSITION over the whole batch
-    (the shared _prefix_hashes core), not per row. Bit-for-bit identical to
-    the scalar h = (h*257 + byte) % M, which the DuckDB HUGEINT
+    numpy-vectorized: one Horner step per byte POSITION over each
+    length-bucketed row group (shared _length_groups/_horner_pass core),
+    not per row; O(rows) memory (no prefix matrix). Bit-for-bit identical
+    to the scalar h = (h*257 + byte) % M, which the DuckDB HUGEINT
     list_reduce oracle reproduces."""
     import numpy as np
 
-    valid, lens, P = _prefix_hashes(texts)
+    valid, groups = _length_groups(texts)
     res = pd.Series([None] * len(texts), index=texts.index, dtype="object")
-    if P is not None:
-        h = P[np.arange(len(lens)), lens]  # hash of each row's full bytes
+    if groups:
+        final = np.zeros(int(valid.sum()), dtype="uint64")
+        for pos, lens_g, pad in groups:
+            h, _ = _horner_pass(pad, lens_g, keep_prefixes=False)
+            final[pos] = h
         res[valid] = pd.Series(
-            h.astype("int64"), index=res.index[valid], dtype="object"
+            final.astype("int64"), index=res.index[valid], dtype="object"
         )
     return res

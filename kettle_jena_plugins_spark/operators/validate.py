@@ -65,6 +65,12 @@ class ValidationSpec:
     require_ts: bool = True
     valid_ops: tuple[str, ...] = VALID_OPS
     null_key_policy: Policy = Policy.ERROR  # ERROR → dead-letter the row
+    # the op-envelope gate: None = auto (checked iff an `op` column exists,
+    # so shape validation runs over non-event frames); True = REQUIRED
+    # (missing column is an analysis error — use for CDC event streams
+    # where a dropped/renamed op must not silently disable the gate);
+    # False = never checked
+    require_op: bool | None = None
     # e.g. (("neg_turn", "turn_idx < 0"), ("long_text", "length(text) > 1e6"))
     constraints: tuple[tuple[str, str], ...] = ()
     # structural shapes over nested paths (SHACL property-shape analogue)
@@ -81,9 +87,12 @@ def _violation_checks(
         checks.append((f"null_key:{k}", F.col(k).isNull()))
     if spec.require_ts:
         checks.append(("null_ts", F.col("ts").isNull()))
-    if columns is None or "op" in columns:
-        # the change-event envelope check; skipped for non-event frames
-        # (shape validation over constructed documents has no op column)
+    check_op = (
+        spec.require_op
+        if spec.require_op is not None
+        else (columns is None or "op" in columns)
+    )
+    if check_op:
         checks.append(
             (
                 "bad_op",
@@ -129,12 +138,17 @@ def _shape_checks(
         if sh.max_count is not None:
             checks.append((f"max_count:{sh.path}", count > sh.max_count))
     for group in spec.any_of:
+        # "present" uses the same count semantics as PathShape: an empty
+        # array contributes zero values, so it does NOT satisfy the group
+        all_absent = F.lit(True)
         for p in group:
-            _resolve_path_type(schema, p)  # surface config errors eagerly
-        all_null = F.lit(True)
-        for p in group:
-            all_null = all_null & F.col(p).isNull()
-        checks.append((f"any_of:{'|'.join(group)}", all_null))
+            dt = _resolve_path_type(schema, p)  # config errors surface here
+            if isinstance(dt, T.ArrayType):
+                present = F.coalesce(F.size(F.col(p)), F.lit(0)) > 0
+            else:
+                present = F.col(p).isNotNull()
+            all_absent = all_absent & ~present
+        checks.append((f"any_of:{'|'.join(group)}", all_absent))
     return checks
 
 

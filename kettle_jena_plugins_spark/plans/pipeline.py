@@ -130,6 +130,18 @@ def _validate_step(i: int, s: Step) -> None:
         raise PipelineConfigError(f"step {i}: group_merge requires group_keys")
     if s.type == "serialize" and c.get("fmt", "ntriples") not in FORMATS:
         raise PipelineConfigError(f"step {i}: bad serialize fmt {c.get('fmt')!r}")
+    if s.type == "serialize" and c.get("decorate"):
+        import dataclasses
+
+        from ..operators.serialize import FilenameDecoration
+
+        allowed = {f.name for f in dataclasses.fields(FilenameDecoration)}
+        unknown = sorted(set(c["decorate"]) - allowed)
+        if unknown:
+            raise PipelineConfigError(
+                f"step {i}: unknown decorate key(s) {unknown} "
+                f"(allowed: {sorted(allowed)})"
+            )
     if s.type == "select" and not c.get("columns"):
         raise PipelineConfigError(f"step {i}: select requires columns")
     if s.type == "filter" and not c.get("condition"):

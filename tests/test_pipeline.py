@@ -369,6 +369,20 @@ def test_bad_serialize_fmt_rejected():
         parse({"steps": [{"type": "serialize", "fmt": "n3x"}]})
 
 
+def test_bad_decorate_key_rejected_at_parse():
+    with pytest.raises(PipelineConfigError, match="unknown decorate key"):
+        parse(
+            {
+                "steps": [
+                    {
+                        "type": "serialize",
+                        "decorate": {"base": "o", "include_partnr": True},
+                    }
+                ]
+            }
+        )
+
+
 def test_streaming_pipeline_per_batch_outputs(spark, tmp_path):
     """The same declarative spec runs per micro-batch over a WAL stream,
     writing one serialize output per batch; rerunning with the same

@@ -77,6 +77,39 @@ def test_compile_shapes_subset():
     )
 
 
+def test_parser_robustness():
+    """Valid-Turtle forms that must not derail the subset parser: '#'
+    inside string literals (not a comment), statement terminator abutting
+    the object ('t:Ref.' / 'sh:minCount 1.'), ignored vocabulary."""
+    ttl = """
+@prefix t:  <http://example.org/transcript#> .
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+
+t:S a sh:NodeShape ;
+    sh:targetClass t:Turn ;
+    sh:property [
+        sh:path t:text ;
+        sh:message "see #4 for details" ;
+        sh:minCount 1.
+    ] ;
+    sh:property [ sh:path t:meta ; sh:node t:Helper. ] .
+
+t:Helper a sh:NodeShape ;
+    sh:property [ sh:path t:tool ; sh:minCount 1 ; ] .
+"""
+    shapes, any_of, constraints = shapes_from_ttl(ttl, root="doc")
+    assert PathShape("doc.t_text", min_count=1, max_count=None) in shapes
+    # the helper stays a helper: no standalone t_tool shape, only the
+    # inlined node constraint (the merged-subject misparse would promote it)
+    assert not any(s.path.endswith("t_tool") for s in shapes)
+    assert constraints == (
+        (
+            "node:doc.t_meta.t_tool",
+            "doc.t_meta IS NOT NULL AND doc.t_meta.t_tool IS NULL",
+        ),
+    )
+
+
 def test_helper_shape_emits_nothing_standalone():
     shapes, any_of, constraints = shapes_from_ttl(SHAPES_TTL)
     # MetaShape has no targetClass: its t_tool requirement appears ONLY as

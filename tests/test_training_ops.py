@@ -265,6 +265,39 @@ def test_content_chunk_bounds_matches_scalar_reference(spark):
     assert 6 in got[3]
 
 
+def test_fingerprint_length_skew_bucketing(spark):
+    """A long outlier among short rows routes through its own length
+    bucket (no O(rows × outlier_len) padding) and both stay bit-exact."""
+    from kettle_jena_plugins_spark.operators.text import (
+        content_chunk_bounds,
+        rolling_fingerprint,
+    )
+
+    # genuinely aperiodic (any short-period string has only period-many
+    # distinct windows, which can all miss the boundary mask)
+    long = "".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(3200)
+    )  # 102,400 pseudo-random hex chars
+    vals = ["short text"] * 20 + [long]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, t string"
+    ).coalesce(1)  # one batch: short rows + outlier together
+    rows = df.select(
+        "i",
+        rolling_fingerprint(F.col("t")).alias("fp"),
+        content_chunk_bounds(8, 63)(F.col("t")).alias("b"),
+    ).collect()
+    got = {r["i"]: r for r in rows}
+    MOD = (1 << 61) - 1
+    for i in (0, 20):
+        h = 0
+        for byt in vals[i].encode("utf-8"):
+            h = (h * 257 + byt) % MOD
+        assert got[i]["fp"] == h
+    assert len(got[20]["b"]) > 100  # ~100k bytes / mask 64 → many bounds
+    assert got[0]["b"] == got[1]["b"]  # identical short rows agree
+
+
 def test_multimodal_plumbing(spark):
     from kettle_jena_plugins_spark.operators.multimodal import (
         FEATURE_SCHEMA,

@@ -117,6 +117,11 @@ def test_datetime_fixed_offset(spark):
     assert at(None) == f'"2026-03-07T08:09:10Z"^^<{XSD}dateTime>'
     with pytest.raises(ValueError, match="offset"):
         df.select(xsd_datetime(F.col("v"), offset="UTC+5"))
+    # XSD bounds zone offsets to ±14:00, minutes < 60
+    for bad in ("+99:00", "+14:30", "-05:75"):
+        with pytest.raises(ValueError, match="XSD range"):
+            df.select(xsd_datetime(F.col("v"), offset=bad))
+    assert at("+14:00") == f'"2026-03-07T22:09:10+14:00"^^<{XSD}dateTime>'
 
 
 def test_decimal_no_grouping_commas(spark):

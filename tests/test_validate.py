@@ -114,6 +114,46 @@ def test_any_of_group_fires_when_all_null(spark):
     assert stats["any_of:doc.t_text|doc.t_meta.t_tool"] == 3
 
 
+def test_require_op_modes(spark):
+    """require_op=True makes a missing op column an error (a dropped or
+    renamed op must not silently disable the envelope gate); None (auto)
+    skips it for non-event frames; False always skips."""
+    no_op = nested(spark).drop("op")
+    # auto: skipped without error
+    ok, dead = validate_split(
+        no_op, ValidationSpec(require_keys=(), require_ts=False)
+    )
+    assert ok.count() + dead.count() == 4
+    # required: analysis error surfaces
+    with pytest.raises(Exception, match="op"):
+        validate_split(
+            no_op,
+            ValidationSpec(require_keys=(), require_ts=False, require_op=True),
+        )[1].count()
+    # False on an event frame: bad 'Z' op row is NOT flagged
+    ok2, dead2 = validate_split(
+        events(spark),
+        ValidationSpec(require_keys=(), require_ts=False, require_op=False),
+    )
+    assert dead2.count() == 0
+
+
+def test_any_of_empty_array_counts_as_absent(spark):
+    """any_of uses PathShape's count semantics: an empty array offers zero
+    values, so it cannot satisfy the group."""
+    df = spark.createDataFrame(
+        [(1, None, ["w"]), (2, None, []), (3, "x", [])],
+        "i int, t string, words array<string>",
+    )
+    spec = ValidationSpec(
+        require_keys=(), require_ts=False, any_of=(("t", "words"),)
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(df, spec).collect()
+    }
+    assert stats == {"any_of:t|words": 1}  # only row 2
+
+
 def test_shape_over_missing_path_is_config_error(spark):
     spec = ValidationSpec(shapes=(PathShape("doc.nope.deeper"),))
     with pytest.raises(ValueError, match="no field 'nope'"):
