@@ -640,6 +640,24 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(d, cands, n=5, threshold=0.8)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over the
+    jaccard-verified near-dup pairs (iterative min-label propagation on
+    the candidate-bounded pair graph — the canonical-keeper step after
+    pair generation). The oracle computes exact components via a
+    recursive-CTE transitive closure over the same SQL-derived pairs."""
+    from kettle_jena_plugins_spark.operators.dedup import (
+        connected_components,
+        jaccard_verify,
+        minhash_candidates,
+    )
+
+    d = _docs_with_dups(spark, sf_dir)
+    cands = minhash_candidates(d, n=5, k=12, bands=3)
+    pairs = jaccard_verify(d, cands, n=5, threshold=0.8)
+    return connected_components(pairs, "id_a", "id_b")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kettle_jena_plugins_spark.operators.dedup import simhash60
 
@@ -807,6 +825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "embed_topk": q_embed_topk,
     "embed_near_dup": q_embed_near_dup,
@@ -1004,6 +1023,45 @@ scored AS (
 )
 SELECT id_a, id_b, round(i / (na + nb - i), 6) AS jaccard
 FROM scored WHERE round(i / (na + nb - i), 6) >= 0.8
+""",
+    "dedup_clusters": f"""
+WITH RECURSIVE {_DOCS_DUPS_CTE},
+{_shingles_cte(5, "docs2")},
+{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+shh AS (
+    SELECT doc_id,
+           list_transform(sh, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS sh
+    FROM sh
+),
+scored AS (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(sa.sh, sb.sh)) AS i,
+           len(sa.sh) AS na, len(sb.sh) AS nb
+    FROM cand c
+    JOIN shh sa ON sa.doc_id = c.id_a
+    JOIN shh sb ON sb.doc_id = c.id_b
+),
+pairs AS (
+    SELECT id_a, id_b FROM scored
+    WHERE round(i / (na + nb - i), 6) >= 0.8
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src
 """,
     "dedup_simhash": """
 WITH toks AS (

@@ -329,3 +329,73 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster resolution — the step after pair generation in a
+    dedup pipeline: connected components over the dup-pair graph, so each
+    cluster keeps one canonical document (min id) and drops the rest.
+
+    Iterative min-label propagation (the GraphX-style pattern): every
+    round each node adopts the minimum label in its closed neighborhood;
+    convergence takes ~graph-diameter rounds, which for near-dup clusters
+    is tiny (dup groups are short chains, not long paths). Each round is
+    one shuffle on the edge list; labels are localCheckpoint'ed per round
+    to cut lineage growth. At 100 TB the edge list is candidate-bounded
+    (LSH propose → verify), orders of magnitude smaller than the corpus —
+    this loop runs on pairs, never on documents.
+
+    Returns (doc_id, cluster_id) for every node that appears in a pair;
+    cluster_id is the component's minimum doc id (the canonical keeper).
+    """
+    e = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    edges = (
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["label"],
+                    F.coalesce(nbr["nbr_min"], labels["label"]),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -265,6 +265,31 @@ def test_content_chunk_bounds_matches_scalar_reference(spark):
     assert 6 in got[3]
 
 
+def test_connected_components_chains_and_islands(spark):
+    """Cluster resolution: a 5-node chain (labels must propagate multiple
+    rounds), a triangle, an isolated pair — each collapses to its min id."""
+    from kettle_jena_plugins_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            # chain 10-11-12-13-14 declared worst-case (high→low)
+            (14, 13), (13, 12), (12, 11), (11, 10),
+            (20, 21), (21, 22), (20, 22),  # triangle
+            (30, 31),  # island pair
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
 def test_fingerprint_length_skew_bucketing(spark):
     """A long outlier among short rows routes through its own length
     bucket (no O(rows × outlier_len) padding) and both stay bit-exact."""
