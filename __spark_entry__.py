@@ -772,6 +772,36 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing (training-corpus curation): deterministic
+    synthetic PII (email / IPv4 / phone, derived from doc_id) is injected
+    into each document, then redacted to typed placeholders via chained
+    regexp_replace (JVM codegen, no UDF) with per-pattern match counts.
+    Patterns are Java-regex/RE2 common-dialect so the DuckDB oracle
+    replays them exactly."""
+    from kettle_jena_plugins_spark.operators.text import (
+        redact_text,
+        redaction_counts,
+    )
+
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555-01"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+        ).alias("text"),
+    )
+    c = F.col("text")
+    return injected.select(
+        "doc_id", *redaction_counts(c), redact_text(c).alias("redacted")
+    )
+
+
 def q_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunk boundaries (Rabin/winnowing-style k-gram
     rolling-hash cut points — the chunk-granularity dedup primitive):
@@ -837,6 +867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
     "content_chunks": q_content_chunks,
+    "text_redact": q_text_redact,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "group_merge_policies": q_group_merge_policies,
@@ -1248,6 +1279,30 @@ SELECT doc_id,
            (acc, b) -> (acc * 257 + b) % 2305843009213693951
        ) AS BIGINT) END AS fp
 FROM documents
+""",
+    "text_redact": r"""
+WITH injected AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com from 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555-01'
+                || CAST(doc_id % 90 + 10 AS VARCHAR) AS text
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(text, '\+\d[\d\- ]{7,}\d')) AS n_phone,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS redacted
+FROM injected
 """,
     "content_chunks": """
 WITH bytes AS (

@@ -270,3 +270,32 @@ def rolling_fingerprint(texts: pd.Series) -> pd.Series:
             final.astype("int64"), index=res.index[valid], dtype="object"
         )
     return res
+
+
+# PII-style redaction patterns — chosen to mean the same thing in Java
+# regex (Spark) and RE2 (DuckDB oracle): no lookaround, no backrefs
+REDACT_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_text(col: Column) -> Column:
+    """Deterministic PII-style scrubbing for training corpora: emails,
+    IPv4 addresses and international phone numbers collapse to typed
+    placeholder tokens. Pure chained regexp_replace — JVM-side, codegen,
+    no UDF; order matters (emails first, so their dotted domains aren't
+    half-eaten by the IP pattern)."""
+    out = col
+    for _, pat, rep in REDACT_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def redaction_counts(col: Column) -> list[Column]:
+    """Per-pattern match counts (redaction accounting for batch metrics)."""
+    return [
+        F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in REDACT_PATTERNS
+    ]
