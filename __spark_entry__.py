@@ -18,6 +18,7 @@ from kettle_jena_plugins_spark.operators.lww import lww_reduce, lww_state
 from kettle_jena_plugins_spark.operators.validate import dead_letter_stats
 from kettle_jena_plugins_spark.sources.changes import (
     CHANGES_ORACLE_CTE,
+    N_CONVS as _N_CONVS,
     change_events,
 )
 
@@ -178,6 +179,126 @@ def q_cdc_final_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("op")
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )
+
+
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history: every version with its validity interval under the
+    (ts, lsn) total order — the history-preserving complement of lww_state
+    (deletes close intervals but emit no version; open intervals are
+    is_current). Interval bounds surface as epoch microseconds so the hash
+    compare is timezone-free."""
+    from kettle_jena_plugins_spark.operators.scd2 import scd2_history
+
+    h = scd2_history(change_events(spark, sf_dir))
+    return h.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("lsn").alias("version_lsn"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros("valid_to_ts").alias("valid_to_us"),
+        "valid_to_lsn",
+        "is_current",
+    )
+
+
+def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each change event picks the latest
+    conversation-level dimension row (a deterministic slice of events,
+    deduped to unique (conv_id, ts) by max lsn) with dim.ts <= event.ts.
+    Spark runs the union-tag/sorted-carry formulation (operators/asof.py);
+    the oracle runs DuckDB's NATIVE ASOF LEFT JOIN — two independent
+    algorithms, one hash-checked result."""
+    from kettle_jena_plugins_spark.operators.asof import asof_join
+    from kettle_jena_plugins_spark.sources.changes import N_CONVS, read_events
+
+    ev = read_events(spark, sf_dir)
+    dims0 = ev.filter(F.col("event_id") % 20 == 5).select(
+        F.concat(F.lit("c"), (F.col("user_id") % N_CONVS).cast("string")).alias(
+            "conv_id"
+        ),
+        "ts",
+        F.col("event_type").alias("phase"),
+        F.col("event_id").alias("dlsn"),
+    )
+    dims = dims0.groupBy("conv_id", "ts").agg(
+        F.max_by("phase", "dlsn").alias("phase"), F.max("dlsn").alias("dlsn")
+    )
+    facts = (
+        change_events(spark, sf_dir)
+        .filter(F.col("lsn") % 20 != 5)
+        .select("lsn", "conv_id", "turn_idx", "ts")
+    )
+    j = asof_join(facts, dims, on="conv_id")
+    return j.select(
+        "conv_id",
+        "lsn",
+        "turn_idx",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("dim_phase").alias("phase"),
+        F.unix_micros("dim_ts").alias("dim_ts_us"),
+        F.col("dim_dlsn").alias("dim_lsn"),
+    )
+
+
+def q_cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format round trip: render the change stream as Debezium JSON
+    envelopes (before/after/op c|u|d/source.lsn/source.ts_us), parse them
+    back with from_json (sources/debezium.py), and LWW-reduce the PARSED
+    stream. The oracle is the plain-columns LWW SQL — it never sees JSON —
+    so a green hash proves the envelope parser preserves ops, keys, payload
+    text (JSON escaping round trip) and microsecond LWW order end-to-end."""
+    from kettle_jena_plugins_spark.sources.debezium import (
+        parse_debezium,
+        to_debezium_json,
+    )
+
+    ch = change_events(spark, sf_dir)
+    parsed = parse_debezium(to_debezium_json(ch))
+    return lww_state(parsed).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
+def q_cdc_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order accounting per conversation shard: how many events arrive
+    with an event time below the shard's running maximum (WAL/lsn order), and
+    the worst lateness — the minimum lossless watermark depth. Disorder is
+    injected deterministically (every lsn%7==3 event shifts back lsn%13
+    minutes), mirroring datagen's ooo_frac fixture knob."""
+    from kettle_jena_plugins_spark.operators.metrics import lag_metrics
+
+    ch = change_events(spark, sf_dir)
+    shift_us = (
+        F.when(F.col("lsn") % 7 == 3, (F.col("lsn") % 13) * F.lit(60_000_000))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    disordered = ch.withColumn(
+        "ts", F.timestamp_micros(F.unix_micros("ts") - shift_us)
+    )
+    return lag_metrics(disordered)
+
+
+def q_transcript_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → training-data bridge: fold the LWW final table state back into
+    one document per conversation (turn-ordered `role: text` lines) with turn
+    and whitespace-token totals plus max-lsn lineage — the input shape the
+    dedup/profiling family consumes. One hash agg; order restored inside the
+    aggregation (sort_array), no window sort."""
+    from kettle_jena_plugins_spark.operators.transcripts import (
+        assemble_transcripts,
+    )
+
+    st = lww_state(change_events(spark, sf_dir))
+    return assemble_transcripts(st)
 
 
 def q_validate_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,6 +1011,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lww_state_window": q_cdc_lww_state_window,
     "cdc_end_to_end": q_cdc_end_to_end,
     "cdc_final_op_counts": q_cdc_final_op_counts,
+    "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_asof_join": q_cdc_asof_join,
+    "cdc_debezium_parse": q_cdc_debezium_parse,
+    "cdc_lag_metrics": q_cdc_lag_metrics,
+    "transcript_assembly": q_transcript_assembly,
     "validate_dead_letter": q_validate_dead_letter,
     "validate_shapes": q_validate_shapes,
     "validate_shacl_ttl": q_validate_shacl_ttl,
@@ -1655,6 +1781,84 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
     + """
 SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
 FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+    "cdc_debezium_parse": _LWW_RANKED
+    + """
+SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+    "cdc_scd2_history": f"""
+WITH {CHANGES_ORACLE_CTE},
+v AS (
+    SELECT *,
+           lead(ts)  OVER w AS valid_to_ts,
+           lead(lsn) OVER w AS valid_to_lsn
+    FROM changes
+    WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY ts, lsn, op)
+)
+SELECT conv_id, turn_idx, role, text, tool,
+       lsn AS version_lsn,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(valid_to_ts) AS valid_to_us,
+       valid_to_lsn,
+       (valid_to_lsn IS NULL) AS is_current
+FROM v WHERE op <> 'D'
+""",
+    "cdc_asof_join": f"""
+WITH {CHANGES_ORACLE_CTE},
+dims0 AS (
+    SELECT 'c' || CAST(user_id % {_N_CONVS} AS VARCHAR) AS conv_id, ts,
+           event_type AS phase, event_id AS dlsn
+    FROM events WHERE event_id % 20 = 5
+),
+dims AS (
+    SELECT conv_id, ts, arg_max(phase, dlsn) AS phase, max(dlsn) AS dlsn
+    FROM dims0 GROUP BY conv_id, ts
+),
+facts AS (
+    SELECT lsn, conv_id, turn_idx, ts FROM changes WHERE lsn % 20 <> 5
+)
+SELECT f.conv_id, f.lsn, f.turn_idx, epoch_us(f.ts) AS ts_us,
+       d.phase AS phase, epoch_us(d.ts) AS dim_ts_us, d.dlsn AS dim_lsn
+FROM facts f ASOF LEFT JOIN dims d
+  ON f.conv_id = d.conv_id AND f.ts >= d.ts
+""",
+    "cdc_lag_metrics": f"""
+WITH {CHANGES_ORACLE_CTE},
+disordered AS (
+    SELECT conv_id, lsn,
+           epoch_us(ts) - (CASE WHEN lsn % 7 = 3
+                                THEN (lsn % 13) * 60000000 ELSE 0 END) AS ts_us
+    FROM changes
+),
+lat AS (
+    SELECT conv_id,
+           greatest(coalesce(max(ts_us) OVER (
+               PARTITION BY conv_id ORDER BY lsn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) - ts_us, 0), 0) AS late_us
+    FROM disordered
+)
+SELECT conv_id,
+       COUNT(*) AS n_events,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       max(late_us) AS max_lateness_us,
+       round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS p_late
+FROM lat GROUP BY conv_id
+""",
+    "transcript_assembly": _LWW_RANKED
+    + f"""
+, state AS (
+    SELECT conv_id, turn_idx, role, text, lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc,
+       COUNT(*) AS n_turns,
+       CAST(sum({_NTOK}) AS BIGINT) AS n_tokens,
+       max(lsn) AS last_lsn
+FROM state GROUP BY conv_id
 """,
     "cdc_lww_state_window": _LWW_RANKED
     + """

@@ -1,0 +1,54 @@
+"""Transcript assembly: fold the per-turn table state back into one document
+per conversation — the bridge from the CDC-maintained transcripts table to
+the training-data side of the engine (dedup / profiling / curation all
+consume documents).
+
+Reference analogue: Group-and-Merge concatenates grouped rows into one model
+per group (JenaGroupMergeStep.java:227-240); here the group is the
+conversation and the "merge" is deterministic turn-ordered text assembly.
+
+Scale design: ONE hash aggregation on conv_id. Turn order is restored
+INSIDE the aggregation (collect struct(turn_idx, ...) → sort_array →
+array_join), not via a window sort: hash agg gets map-side partial
+aggregation, so only ~n_convs assembled groups cross the shuffle, and no
+key-partition-wide sort is needed. Per-group memory is one conversation
+(≤ turns_per_conv rows) — bounded regardless of corpus size. token totals
+ride the same agg (no second pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+
+def assemble_transcripts(
+    state: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    lsn_col: str = "lsn",
+    sep: str = "\n",
+) -> DataFrame:
+    """→ one row per conversation: doc (``role: text`` lines in turn order),
+    n_turns, n_tokens (whitespace tokens over all turns), last_lsn (lineage:
+    the newest event version folded into this document)."""
+    line = F.concat_ws(": ", F.col(role_col), F.col(text_col))
+    turn = F.struct(F.col(turn_col).alias("i"), line.alias("line"))
+    agg = state.groupBy(conv_col).agg(
+        F.sort_array(F.collect_list(turn)).alias("__turns"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+        F.max(F.col(lsn_col)).alias("last_lsn"),
+    )
+    doc = F.array_join(F.transform(F.col("__turns"), lambda t: t["line"]), sep)
+    return agg.select(
+        conv_col,
+        doc.alias("doc"),
+        "n_turns",
+        "n_tokens",
+        "last_lsn",
+    )

@@ -1,0 +1,334 @@
+"""Edge semantics of the CDC-consumer operators (scd2 / asof / debezium /
+lag metrics / transcript assembly) that the value-hash oracle cannot see:
+tombstone handling, ts_ms fallback, unknown ops, interval chaining, inclusive
+as-of ties, left-join nulls, and plan shape (shuffle counts).
+
+Reference analogue: JenaGroupMergeStepIT's row-level expectations on merged
+groups (JenaGroupMergeStepIT.java:64-120) — here applied to the operators the
+engine adds on the consumer side of the change stream.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kettle_jena_plugins_spark.model import CHANGE_EVENT_SCHEMA
+from kettle_jena_plugins_spark.operators.asof import asof_join
+from kettle_jena_plugins_spark.operators.metrics import lag_metrics
+from kettle_jena_plugins_spark.operators.scd2 import scd2_history
+from kettle_jena_plugins_spark.operators.transcripts import assemble_transcripts
+from kettle_jena_plugins_spark.sources.debezium import (
+    parse_debezium,
+    to_debezium_json,
+)
+
+
+def _ts(s: int) -> datetime.datetime:
+    return datetime.datetime(2026, 1, 1, 0, 0, s)
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+
+# ---------------------------------------------------------------- scd2
+
+
+def test_scd2_interval_chaining(spark):
+    # I @1 -> U @2 -> U @3: two closed versions + one open current
+    ch = _changes(
+        spark,
+        [
+            ("I", 1, _ts(1), "c1", 0, "user", "v1", None),
+            ("U", 2, _ts(2), "c1", 0, "user", "v2", None),
+            ("U", 3, _ts(3), "c1", 0, "user", "v3", None),
+        ],
+    )
+    h = {r["lsn"]: r for r in scd2_history(ch).collect()}
+    assert len(h) == 3
+    assert h[1]["valid_to_lsn"] == 2 and h[1]["valid_to_ts"] == _ts(2)
+    assert h[2]["valid_to_lsn"] == 3
+    assert h[3]["valid_to_lsn"] is None and h[3]["is_current"]
+    assert not h[1]["is_current"] and not h[2]["is_current"]
+
+
+def test_scd2_delete_closes_without_version(spark):
+    # I -> D: the delete closes the insert's interval but emits no row,
+    # and the closed version is NOT current even though it has no successor
+    # version row.
+    ch = _changes(
+        spark,
+        [
+            ("I", 1, _ts(1), "c1", 0, "user", "v1", None),
+            ("D", 2, _ts(2), "c1", 0, None, None, None),
+        ],
+    )
+    h = scd2_history(ch).collect()
+    assert len(h) == 1
+    assert h[0]["lsn"] == 1
+    assert h[0]["valid_to_lsn"] == 2
+    assert not h[0]["is_current"]
+
+
+def test_scd2_keys_are_independent(spark):
+    ch = _changes(
+        spark,
+        [
+            ("I", 1, _ts(1), "c1", 0, "user", "a", None),
+            ("I", 2, _ts(2), "c1", 1, "user", "b", None),
+            ("U", 3, _ts(3), "c1", 1, "user", "b2", None),
+        ],
+    )
+    h = {r["lsn"]: r for r in scd2_history(ch).collect()}
+    # turn 0 never updated: still open
+    assert h[1]["is_current"] and h[1]["valid_to_lsn"] is None
+    assert h[2]["valid_to_lsn"] == 3 and h[3]["is_current"]
+
+
+def test_scd2_single_shuffle(spark):
+    ch = _changes(spark, [("I", 1, _ts(1), "c1", 0, "user", "v", None)])
+    plan = scd2_history(ch)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one hash partitioning, reused
+
+
+# ---------------------------------------------------------------- asof
+
+
+def _dims(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("phase", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _facts(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("fid", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_inclusive_tie_and_latest_wins(spark):
+    dims = _dims(
+        spark,
+        [("c1", _ts(10), "early"), ("c1", _ts(20), "late")],
+    )
+    facts = _facts(
+        spark,
+        [
+            ("c1", 1, _ts(5)),   # before any dim -> null
+            ("c1", 2, _ts(10)),  # exactly at dim ts -> inclusive match
+            ("c1", 3, _ts(15)),  # between -> early
+            ("c1", 4, _ts(25)),  # after both -> late
+        ],
+    )
+    out = {r["fid"]: r for r in asof_join(facts, dims).collect()}
+    assert out[1]["dim_phase"] is None and out[1]["dim_ts"] is None
+    assert out[2]["dim_phase"] == "early" and out[2]["dim_ts"] == _ts(10)
+    assert out[3]["dim_phase"] == "early"
+    assert out[4]["dim_phase"] == "late" and out[4]["dim_ts"] == _ts(20)
+
+
+def test_asof_left_join_keeps_dimless_keys(spark):
+    dims = _dims(spark, [("c1", _ts(10), "p")])
+    facts = _facts(spark, [("c2", 1, _ts(50))])  # key with no dims at all
+    out = asof_join(facts, dims).collect()
+    assert len(out) == 1 and out[0]["dim_phase"] is None
+
+
+def test_asof_null_dim_payload_does_not_reset_carry(spark):
+    # A dim row whose payload column is null must still BE the match (the
+    # carried struct is non-null even when its fields are null) — nulls in
+    # payload must not fall through to an older dim.
+    dims = _dims(spark, [("c1", _ts(10), "p"), ("c1", _ts(20), None)])
+    facts = _facts(spark, [("c1", 1, _ts(30))])
+    out = asof_join(facts, dims).collect()
+    assert out[0]["dim_phase"] is None and out[0]["dim_ts"] == _ts(20)
+
+
+def test_asof_single_shuffle(spark):
+    dims = _dims(spark, [("c1", _ts(10), "p")])
+    facts = _facts(spark, [("c1", 1, _ts(30))])
+    plan = (
+        asof_join(facts, dims)._jdf.queryExecution().executedPlan().toString()
+    )
+    # union-tag formulation: one Exchange per input side feeding ONE window
+    # sort — crucially no Join operator (no nested-loop range join).
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+# ---------------------------------------------------------------- debezium
+
+
+def test_debezium_round_trip_all_ops(spark):
+    ch = _changes(
+        spark,
+        [
+            ("I", 1, _ts(1), "c1", 0, "user", 'sa"y\n\\x', "t"),
+            ("U", 2, _ts(2), "c1", 0, "user", "v2", None),
+            ("D", 3, _ts(3), "c1", 0, None, None, None),
+        ],
+    )
+    back = parse_debezium(to_debezium_json(ch)).orderBy("lsn").collect()
+    orig = ch.orderBy("lsn").collect()
+    assert [tuple(r) for r in back] == [tuple(r) for r in orig]
+
+
+def test_debezium_tombstones_dropped_and_unknown_op_null(spark):
+    raw = spark.createDataFrame(
+        [
+            (None,),  # Kafka tombstone: dropped entirely
+            (
+                '{"payload": {"op": "x", "ts_ms": 1000,'
+                ' "after": {"conv_id": "c1", "turn_idx": 0},'
+                ' "source": {"lsn": 7}}}',
+            ),
+        ],
+        T.StructType([T.StructField("value", T.StringType(), True)]),
+    )
+    out = parse_debezium(raw).collect()
+    assert len(out) == 1  # tombstone gone
+    assert out[0]["op"] is None  # unknown op -> null, for dead-letter routing
+    assert out[0]["lsn"] == 7 and out[0]["conv_id"] == "c1"
+
+
+def test_debezium_ts_ms_fallback_and_ts_us_priority(spark):
+    raw = spark.createDataFrame(
+        [
+            # no source.ts_us -> fall back to ts_ms (millisecond precision)
+            (
+                '{"payload": {"op": "c", "ts_ms": 1500,'
+                ' "after": {"conv_id": "c1", "turn_idx": 0},'
+                ' "source": {"lsn": 1}}}',
+            ),
+            # both present -> microseconds win
+            (
+                '{"payload": {"op": "c", "ts_ms": 1500,'
+                ' "after": {"conv_id": "c1", "turn_idx": 1},'
+                ' "source": {"lsn": 2, "ts_us": 1500123}}}',
+            ),
+        ],
+        T.StructType([T.StructField("value", T.StringType(), True)]),
+    )
+    out = {r["lsn"]: r for r in parse_debezium(raw).collect()}
+    epoch = datetime.timezone.utc
+    assert out[1]["ts"] == datetime.datetime.fromtimestamp(1.5, tz=epoch).replace(
+        tzinfo=None
+    )
+    assert out[2]["ts"].microsecond == 500123
+
+
+def test_debezium_snapshot_read_is_insert(spark):
+    raw = spark.createDataFrame(
+        [
+            (
+                '{"payload": {"op": "r", "ts_ms": 1000,'
+                ' "after": {"conv_id": "c1", "turn_idx": 0, "text": "snap"},'
+                ' "source": {"lsn": 3}}}',
+            )
+        ],
+        T.StructType([T.StructField("value", T.StringType(), True)]),
+    )
+    out = parse_debezium(raw).collect()
+    assert out[0]["op"] == "I" and out[0]["text"] == "snap"
+
+
+def test_debezium_delete_uses_before_image(spark):
+    ch = _changes(spark, [("D", 9, _ts(9), "c7", 3, None, None, None)])
+    js = to_debezium_json(ch).collect()[0]["value"]
+    assert '"before"' in js and '"c7"' in js
+    back = parse_debezium(to_debezium_json(ch)).collect()[0]
+    assert back["op"] == "D" and back["conv_id"] == "c7" and back["turn_idx"] == 3
+
+
+# ---------------------------------------------------------------- lag metrics
+
+
+def test_lag_metrics_counts_and_depth(spark):
+    # lsn order: ts 10, 30, 20(late by 10s), 40, 25(late by 15s)
+    ch = _changes(
+        spark,
+        [
+            ("I", 1, _ts(10), "c1", 0, "u", "a", None),
+            ("I", 2, _ts(30), "c1", 1, "u", "b", None),
+            ("I", 3, _ts(20), "c1", 2, "u", "c", None),
+            ("I", 4, _ts(40), "c1", 3, "u", "d", None),
+            ("I", 5, _ts(25), "c1", 4, "u", "e", None),
+        ],
+    )
+    m = lag_metrics(ch).collect()
+    assert len(m) == 1
+    r = m[0]
+    assert r["n_events"] == 5
+    assert r["n_late"] == 2
+    assert r["max_lateness_us"] == 15_000_000
+    assert abs(r["p_late"] - 0.4) < 1e-9
+
+
+def test_lag_metrics_in_order_shard_is_clean(spark):
+    ch = _changes(
+        spark,
+        [
+            ("I", 1, _ts(1), "c1", 0, "u", "a", None),
+            ("I", 2, _ts(2), "c1", 1, "u", "b", None),
+        ],
+    )
+    r = lag_metrics(ch).collect()[0]
+    assert r["n_late"] == 0 and r["max_lateness_us"] == 0 and r["p_late"] == 0.0
+
+
+def test_lag_metrics_single_shuffle(spark):
+    ch = _changes(spark, [("I", 1, _ts(1), "c1", 0, "u", "a", None)])
+    plan = lag_metrics(ch)._jdf.queryExecution().executedPlan().toString()
+    # window partitioning is reused by the groupBy: exactly one Exchange
+    assert plan.count("Exchange") == 1
+
+
+# ------------------------------------------------------- transcript assembly
+
+
+def test_assembly_turn_order_not_arrival_order(spark):
+    state = spark.createDataFrame(
+        [
+            ("c1", 2, "assistant", "third", None, _ts(3), 30),
+            ("c1", 0, "user", "first", None, _ts(1), 10),
+            ("c1", 1, "assistant", "second words", None, _ts(2), 20),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, lsn long",
+    ).repartition(4)
+    out = assemble_transcripts(state).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc"] == "user: first\nassistant: second words\nassistant: third"
+    assert r["n_turns"] == 3
+    assert r["n_tokens"] == 4
+    assert r["last_lsn"] == 30
+
+
+def test_assembly_single_shuffle_no_sort_exchange(spark):
+    state = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, _ts(1), 1)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, lsn long",
+    )
+    plan = (
+        assemble_transcripts(state)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan  # order restored inside the agg, not a window
