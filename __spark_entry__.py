@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 
 from kettle_jena_plugins_spark.model import MERGE_KEYS
 from kettle_jena_plugins_spark.operators.lww import lww_reduce, lww_state
+from kettle_jena_plugins_spark.operators.sampling import (
+    rate_threshold as _rate_threshold,
+)
 from kettle_jena_plugins_spark.operators.validate import dead_letter_stats
 from kettle_jena_plugins_spark.sources.changes import (
     CHANGES_ORACLE_CTE,
@@ -927,6 +930,101 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data hygiene): a deterministic
+    slice of documents (doc_id % 97 == 3) plays the held-out eval suite; the
+    corpus (everything else + the re-keyed duplicates) is flagged wherever it
+    shares a distinct word 4-gram with a bench item. The bench side is
+    broadcast after a narrow explode — the corpus is never shuffled
+    (operators/decontam.py). Injected duplicates of bench docs surface as
+    full-overlap contamination; word-soup collisions as low counts."""
+    from kettle_jena_plugins_spark.operators.decontam import contamination
+
+    docs = _docs(spark, sf_dir)
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 3)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out = contamination(corpus, bench, n=4)
+    return out.select(
+        "doc_id",
+        "bench_id",
+        "n_overlap",
+        F.col("n_doc_ngrams").cast("long").alias("n_doc_ngrams"),
+    )
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 1.0, "es": 0.1, "zh": 0.05}
+_SAMPLE_QUOTAS = {"en": 25, "de": 10, "es": 15, "fr": 100}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language rate sampling (training-mix curation):
+    keep a doc iff the first 8 hex digits of md5(seed||doc_id) fall below
+    the stratum's threshold — a pure narrow filter, ZERO shuffles, stable
+    under partitioning/retries (operators/sampling.py). Exercises rate 1.0
+    (keep-all) and sub-percent rates in one policy."""
+    from kettle_jena_plugins_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), _SAMPLE_RATES, stratum_col="lang",
+        key_col="doc_id", seed="s0",
+    ).select("doc_id", "lang", "source")
+
+
+def q_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-exact stratified sampling: md5-rank within each language, keep
+    rank <= quota (one shuffle on the stratum key). The fr quota exceeds the
+    stratum population (keeps all), zh is absent from the policy (dropped)."""
+    from kettle_jena_plugins_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    out = stratified_sample_exact(
+        _docs(spark, sf_dir), _SAMPLE_QUOTAS, stratum_col="lang",
+        key_col="doc_id", seed="s0",
+    )
+    return out.select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk training layout): per modular
+    shard, documents concatenate in doc_id order and the token stream is cut
+    every 500 tokens; each doc reports the window its first token lands in,
+    its offset there, and whether it straddles the cut. Pure integer window
+    arithmetic — one shuffle on shard (operators/packing.py)."""
+    from kettle_jena_plugins_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=500, n_shards=8)
+
+
+def q_transcript_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript structural lint (conversation-level quality gate): dense
+    turn-index check, blank-text counts (blanks injected deterministically
+    at lsn%31==4), adjacent same-role runs, first/last role — computed
+    inside ONE hash agg from collected (turn,role) structs; the oracle uses
+    an independent window-lag formulation."""
+    from kettle_jena_plugins_spark.operators.transcripts import (
+        lint_transcripts,
+    )
+
+    st = lww_state(change_events(spark, sf_dir)).withColumn(
+        "text",
+        F.when(F.col("lsn") % 31 == 4, F.lit("  ")).otherwise(F.col("text")),
+    )
+    return lint_transcripts(st)
+
+
 def q_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunk boundaries (Rabin/winnowing-style k-gram
     rolling-hash cut points — the chunk-granularity dedup primitive):
@@ -993,6 +1091,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "content_chunks": q_content_chunks,
     "text_redact": q_text_redact,
+    "decontam_overlap": q_decontam_overlap,
+    "stratified_sample": q_stratified_sample,
+    "stratified_sample_exact": q_stratified_sample_exact,
+    "pack_sequences": q_pack_sequences,
+    "transcript_lint": q_transcript_lint,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "group_merge_policies": q_group_merge_policies,
@@ -1409,6 +1512,111 @@ SELECT doc_id,
            (acc, b) -> (acc * 257 + b) % 2305843009213693951
        ) AS BIGINT) END AS fp
 FROM documents
+""",
+    "decontam_overlap": """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+bench AS (
+    SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 3
+),
+dg AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 4
+               THEN list_transform(range(1, len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM corpus)
+),
+bg AS (
+    SELECT bench_id,
+           list_distinct(CASE WHEN len(toks) >= 4
+               THEN list_transform(range(1, len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+    FROM (SELECT bench_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM bench)
+),
+dx AS (SELECT doc_id, len(grams) AS n_doc_ngrams, unnest(grams) AS ngram
+       FROM dg),
+bx AS (SELECT bench_id, unnest(grams) AS ngram FROM bg)
+SELECT dx.doc_id, bx.bench_id, count(*) AS n_overlap,
+       CAST(n_doc_ngrams AS BIGINT) AS n_doc_ngrams
+FROM dx JOIN bx USING (ngram)
+GROUP BY dx.doc_id, bx.bench_id, n_doc_ngrams
+""",
+    "stratified_sample": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang
+          {' '.join(f"WHEN '{k}' THEN '{_rate_threshold(v)}'" for k, v in sorted(_SAMPLE_RATES.items()))}
+          ELSE '{_rate_threshold(0.0)}' END
+""",
+    "stratified_sample_exact": f"""
+WITH r AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        doc_id
+           ) AS sample_rank
+    FROM documents
+)
+SELECT doc_id, lang, sample_rank FROM r
+WHERE sample_rank <=
+      CASE lang
+          {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_QUOTAS.items()))}
+          ELSE 0 END
+""",
+    "pack_sequences": f"""
+WITH d AS (
+    SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+           CAST({_NTOK} AS BIGINT) AS n_tokens
+    FROM documents
+),
+s AS (
+    SELECT *,
+           sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS strt
+    FROM d
+)
+SELECT doc_id, shard,
+       strt // 500 AS bin_idx,
+       strt % 500 AS bin_offset,
+       n_tokens,
+       ((strt % 500) + n_tokens > 500) AS straddles
+FROM s
+""",
+    "transcript_lint": _LWW_RANKED
+    + """
+, state AS (
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN lsn % 31 = 4 THEN '  ' ELSE text END AS text
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+),
+lagged AS (
+    SELECT conv_id, turn_idx, role, text,
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+    FROM state
+)
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(max(turn_idx) AS BIGINT) AS max_turn_idx,
+       (max(turn_idx) <> COUNT(*) - 1) AS has_gaps,
+       CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_role_repeats,
+       arg_min(role, turn_idx) AS first_role,
+       arg_max(role, turn_idx) AS last_role
+FROM lagged GROUP BY conv_id
 """,
     "text_redact": r"""
 WITH injected AS (

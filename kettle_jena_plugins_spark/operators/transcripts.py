@@ -52,3 +52,63 @@ def assemble_transcripts(
         "n_tokens",
         "last_lsn",
     )
+
+
+def lint_transcripts(
+    state: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Structural quality report, one row per conversation — the
+    transcript-shaped analogue of the SHACL dead-letter split
+    (operators/validate.py): instead of rejecting rows, score whole
+    conversations so curation can filter or repair them.
+
+    Output per conv_id:
+    - n_turns, max_turn_idx;
+    - has_gaps: turn indices are not the dense prefix 0..n_turns-1
+      (deleted or never-delivered turns);
+    - n_empty: turns with null/blank text;
+    - n_role_repeats: adjacent turns (in turn order) with the same role —
+      broken user/assistant alternation;
+    - first_role / last_role (turn order).
+
+    Scale: one hash aggregation on conv_id; role adjacency is computed
+    inside the agg from the collected (turn_idx, role) structs —
+    per-conversation arrays are bounded by turns_per_conv, and no window
+    sort/shuffle beyond the one agg (same discipline as
+    ``assemble_transcripts``).
+    """
+    turn = F.struct(F.col(turn_col).alias("i"), F.col(role_col).alias("r"))
+    empty = (
+        F.col(text_col).isNull() | (F.length(F.trim(F.col(text_col))) == 0)
+    ).cast("long")
+    agg = state.groupBy(conv_col).agg(
+        F.sort_array(F.collect_list(turn)).alias("__t"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max(F.col(turn_col)).cast("long").alias("max_turn_idx"),
+        F.sum(empty).alias("n_empty"),
+    )
+    roles = F.transform(F.col("__t"), lambda t: t["r"])
+    repeats = F.size(
+        F.filter(
+            F.zip_with(
+                roles,
+                F.slice(roles, 2, F.greatest(F.size(roles) - 1, F.lit(1))),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    ).cast("long")
+    return agg.select(
+        conv_col,
+        "n_turns",
+        "max_turn_idx",
+        (F.col("max_turn_idx") != F.col("n_turns") - 1).alias("has_gaps"),
+        "n_empty",
+        repeats.alias("n_role_repeats"),
+        F.element_at(roles, 1).alias("first_role"),
+        F.element_at(roles, -1).alias("last_role"),
+    )

@@ -1,0 +1,286 @@
+"""Edge semantics of the curation operators (decontamination, stratified
+sampling) beyond what the value-hash oracle shows: short-document guards,
+within-doc n-gram dedup, broadcast/narrow plan shapes, determinism under
+repartitioning, rate-1.0 / absent-stratum policy edges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kettle_jena_plugins_spark.operators.decontam import (
+    contamination,
+    word_ngrams,
+)
+from kettle_jena_plugins_spark.operators.sampling import (
+    rate_threshold,
+    stratified_sample,
+    stratified_sample_exact,
+)
+
+
+def _docs(spark, rows, cols="doc_id long, text string"):
+    return spark.createDataFrame(rows, cols)
+
+
+# ------------------------------------------------------------- decontam
+
+
+def test_word_ngrams_short_doc_and_dedup(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d"),          # 4 tokens < n=5 -> empty
+            (2, "a b c d e"),        # exactly n -> 1 gram
+            (3, "x y x y x y x y x y"),  # repeated gram -> distinct
+            (4, "   "),              # blank -> empty
+        ],
+    ).select("doc_id", word_ngrams(F.col("text"), 5).alias("g"))
+    out = {r["doc_id"]: r["g"] for r in df.collect()}
+    assert out[1] == []
+    assert out[2] == ["a b c d e"]
+    assert sorted(out[3]) == ["x y x y x", "y x y x y"]
+    assert out[4] == []
+
+
+def test_contamination_counts_and_threshold(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "one two three four five six"),  # shares 2 distinct 5-grams
+            (2, "totally different words here now"),
+            (3, "one two three four five"),      # shares 1
+        ],
+    )
+    bench = _docs(
+        spark,
+        [(100, "one two three four five six")],
+        "bench_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["bench_id"]): r
+        for r in contamination(docs, bench, n=5).collect()
+    }
+    assert set(out) == {(1, 100), (3, 100)}
+    assert out[(1, 100)]["n_overlap"] == 2
+    assert out[(1, 100)]["n_doc_ngrams"] == 2
+    assert out[(3, 100)]["n_overlap"] == 1
+    # min_overlap filters the single-gram pair
+    out2 = contamination(docs, bench, n=5, min_overlap=2).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in out2] == [(1, 100)]
+
+
+def test_contamination_case_insensitive(spark):
+    docs = _docs(spark, [(1, "One Two THREE four five")])
+    bench = _docs(
+        spark, [(9, "one two three four five")], "bench_id long, text string"
+    )
+    assert contamination(docs, bench, n=5).count() == 1
+
+
+def test_contamination_broadcasts_bench_not_corpus(spark):
+    docs = _docs(spark, [(1, "a b c d e")])
+    bench = _docs(spark, [(9, "a b c d e")], "bench_id long, text string")
+    plan = (
+        contamination(docs, bench, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus side must not shuffle-join
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_rate_threshold_bounds():
+    assert rate_threshold(0.0) == "00000000"
+    assert rate_threshold(1.0) == "g"  # sorts above all hex: keeps everything
+    assert rate_threshold(0.5) == "80000000"
+    assert rate_threshold(0.25) == "40000000"
+
+
+def _corpus(spark):
+    rows = [(i, ["en", "de", "zz"][i % 3]) for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_stratified_sample_rates_and_default_drop(spark):
+    df = _corpus(spark)
+    out = stratified_sample(df, {"en": 1.0, "de": 0.3}, seed="s0")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["en"] == 100  # rate 1.0 keeps the whole stratum
+    assert 10 <= by_lang.get("de", 0) <= 55  # ~30 expected, binomial spread
+    assert "zz" not in by_lang  # absent stratum -> default_rate 0.0
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    df = _corpus(spark)
+    a = {r["doc_id"] for r in stratified_sample(df, {"de": 0.4}).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(13), {"de": 0.4}).collect()
+    }
+    assert a == b and a  # same selection regardless of layout
+
+
+def test_stratified_sample_is_narrow(spark):
+    df = _corpus(spark)
+    plan = (
+        stratified_sample(df, {"en": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure filter: zero shuffles
+
+
+def test_stratified_sample_seed_changes_selection(spark):
+    df = _corpus(spark)
+    a = {r["doc_id"] for r in stratified_sample(df, {"en": 0.5}, seed="s0").collect()}
+    b = {r["doc_id"] for r in stratified_sample(df, {"en": 0.5}, seed="s1").collect()}
+    assert a != b
+
+
+def test_stratified_sample_exact_quotas(spark):
+    df = _corpus(spark)
+    out = stratified_sample_exact(df, {"en": 7, "de": 500}, seed="s0")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["en"] == 7  # exact quota
+    assert by_lang["de"] == 100  # quota above population keeps all
+    assert "zz" not in by_lang  # absent stratum dropped
+    ranks = [r["sample_rank"] for r in out.filter(F.col("lang") == "en").collect()]
+    assert sorted(ranks) == list(range(1, 8))
+
+
+def test_stratified_sample_exact_subset_of_rate_path(spark):
+    # the exact path ranks by the same md5 key the rate path thresholds on:
+    # the first k selected by quota are always a subset of a generous rate cut
+    df = _corpus(spark)
+    exact = {
+        r["doc_id"]
+        for r in stratified_sample_exact(df, {"en": 5}, seed="s0").collect()
+    }
+    rate = {
+        r["doc_id"]
+        for r in stratified_sample(df, {"en": 0.5}, seed="s0").collect()
+    }
+    # 5 of 100 at rate 0.5: overwhelmingly within the kept half, and ordering
+    # agreement is what we really assert: the 5 lowest md5 keys
+    keyed = sorted(
+        (r["doc_id"] for r in df.filter(F.col("lang") == "en").collect()),
+        key=lambda d: __import__("hashlib").md5(f"s0{d}".encode()).hexdigest()[:8],
+    )
+    assert exact == set(keyed[:5])
+    assert set(keyed[:5]) <= rate or len(rate) < 5  # consistency, not luck
+
+
+# ------------------------------------------------------------- packing
+
+
+def test_pack_sequences_windows_and_straddle(spark):
+    from kettle_jena_plugins_spark.operators.packing import pack_sequences
+
+    # one shard (n_shards=1); token counts 3,4,5 against budget 6:
+    # starts 0,3,7 -> bins 0,0,1; doc 2 straddles (offset 3 + 4 > 6)
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, budget=6, n_shards=1).collect()
+    }
+    assert (out[1]["bin_idx"], out[1]["bin_offset"], out[1]["straddles"]) == (0, 0, False)
+    assert (out[2]["bin_idx"], out[2]["bin_offset"], out[2]["straddles"]) == (0, 3, True)
+    # exact fit is NOT a straddle: offset 1 + 5 = 6 == budget
+    assert (out[3]["bin_idx"], out[3]["bin_offset"], out[3]["straddles"]) == (1, 1, False)
+
+
+def test_pack_sequences_shards_independent(spark):
+    from kettle_jena_plugins_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10) for i in range(20)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, budget=25, n_shards=4)
+    rows = out.collect()
+    assert {r["shard"] for r in rows} == {0, 1, 2, 3}
+    # each shard's stream restarts at offset 0
+    firsts = {
+        r["shard"]: (r["bin_idx"], r["bin_offset"])
+        for r in rows
+        if r["doc_id"] < 4
+    }
+    assert all(v == (0, 0) for v in firsts.values())
+
+
+def test_pack_sequences_empty_doc(spark):
+    from kettle_jena_plugins_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "   "), (3, "c d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, 100, 1).collect()}
+    assert out[2]["n_tokens"] == 0 and not out[2]["straddles"]
+    assert out[3]["bin_offset"] == 2  # empty doc consumed no budget
+
+
+# ------------------------------------------------------------- lint
+
+
+def test_lint_transcripts_report(spark):
+    from kettle_jena_plugins_spark.operators.transcripts import lint_transcripts
+
+    state = spark.createDataFrame(
+        [
+            # c1: dense, alternating, clean
+            ("c1", 0, "user", "hi"),
+            ("c1", 1, "assistant", "hello"),
+            # c2: gap (0,2), double-assistant, one blank
+            ("c2", 0, "user", "q"),
+            ("c2", 2, "assistant", ""),
+            ("c2", 3, "assistant", "a2"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {r["conv_id"]: r for r in lint_transcripts(state).collect()}
+    c1, c2 = out["c1"], out["c2"]
+    assert not c1["has_gaps"] and c1["n_empty"] == 0 and c1["n_role_repeats"] == 0
+    assert (c1["first_role"], c1["last_role"]) == ("user", "assistant")
+    assert c2["has_gaps"] and c2["max_turn_idx"] == 3 and c2["n_turns"] == 3
+    assert c2["n_empty"] == 1
+    assert c2["n_role_repeats"] == 1
+    assert (c2["first_role"], c2["last_role"]) == ("user", "assistant")
+
+
+def test_lint_single_turn_and_null_text(spark):
+    from kettle_jena_plugins_spark.operators.transcripts import lint_transcripts
+
+    state = spark.createDataFrame(
+        [("c1", 0, "user", None)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    r = lint_transcripts(state).collect()[0]
+    assert r["n_turns"] == 1 and not r["has_gaps"]
+    assert r["n_empty"] == 1 and r["n_role_repeats"] == 0
+    assert r["first_role"] == r["last_role"] == "user"
+
+
+def test_lint_single_shuffle(spark):
+    from kettle_jena_plugins_spark.operators.transcripts import lint_transcripts
+
+    state = spark.createDataFrame(
+        [("c1", 0, "user", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = (
+        lint_transcripts(state)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1 and "Window" not in plan
