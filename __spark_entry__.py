@@ -997,6 +997,21 @@ def q_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): duplicate
+    word-bigram and trigram fractions per doc — high values flag boilerplate
+    or looped text. Pure narrow built-ins (split/slice/array_distinct), no
+    shuffle, no UDF (operators/text.py:repetition_ratio)."""
+    from kettle_jena_plugins_spark.operators.text import repetition_ratio
+
+    c = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        repetition_ratio(c, 2).alias("rep2"),
+        repetition_ratio(c, 3).alias("rep3"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-then-chunk training layout): per modular
     shard, documents concatenate in doc_id order and the token stream is cut
@@ -1096,6 +1111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_exact": q_stratified_sample_exact,
     "pack_sequences": q_pack_sequences,
     "transcript_lint": q_transcript_lint,
+    "text_repetition": q_text_repetition,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "group_merge_policies": q_group_merge_policies,
@@ -1572,6 +1588,21 @@ WHERE sample_rank <=
       CASE lang
           {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_QUOTAS.items()))}
           ELSE 0 END
+""",
+    "text_repetition": """
+SELECT doc_id,
+       CASE WHEN len(toks) < 2 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(list_transform(
+                     range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i + 1])))
+                 / (len(toks) - 1), 6) END AS rep2,
+       CASE WHEN len(toks) < 3 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(list_transform(
+                     range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+                 / (len(toks) - 2), 6) END AS rep3
+FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents)
 """,
     "pack_sequences": f"""
 WITH d AS (

@@ -33,20 +33,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def word_ngrams(col: Column, n: int = 5) -> Column:
-    """Distinct, space-joined word n-grams of the lowercased text; documents
-    shorter than n tokens yield an empty array (``sequence`` would count
-    DOWN for start > stop — the guard is load-bearing)."""
+def ngram_stream(col: Column, n: int) -> Column:
+    """ALL word n-grams (space-joined, lowercased) in document order,
+    duplicates preserved; docs shorter than n tokens yield an empty array.
+
+    Formulated as ``zip_with`` over n shifted copies of the token array so
+    ``split()`` is evaluated once per ROW (argument position). The obvious
+    transform-over-indices formulation references the token array inside
+    the lambda BODY, and interpreted higher-order lambdas re-evaluate the
+    body per ELEMENT — O(tokens²) splits per doc, the projection-collapse
+    trap (CLAUDE.md; measured 10× on this operator). zip_with pads the
+    shorter side with null and ``concat`` propagates it, so the trailing
+    n−1 slots null out and ``array_compact`` trims them."""
     toks = F.split(F.trim(F.lower(col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(
-            F.array().cast("array<string>")
+    g = toks
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(toks, k + 1, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    )
+    return F.array_compact(g)
+
+
+def word_ngrams(col: Column, n: int = 5) -> Column:
+    """Distinct, space-joined word n-grams of the lowercased text
+    (first-occurrence order)."""
+    return F.array_distinct(ngram_stream(col, n))
 
 
 def bench_ngrams(bench: DataFrame, id_col: str = "bench_id",

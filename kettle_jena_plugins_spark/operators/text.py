@@ -52,6 +52,23 @@ def stopword_ratio(col: Column, lang: str = "en") -> Column:
     return F.round(hits / F.greatest(token_count(col), F.lit(1)), 6)
 
 
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Duplicate word-n-gram fraction in [0,1]: 1 − distinct/total n-grams
+    (0 for docs shorter than n tokens). The Gopher-style within-document
+    repetition signal — high values mean boilerplate/looped text that
+    quality filters drop before training. Narrow, pure built-ins (split /
+    slice / array_distinct), no UDF; composes into ``text_profile``-style
+    projections and the DuckDB oracle replays it with list functions."""
+    from .decontam import ngram_stream
+
+    grams = ngram_stream(col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - distinct / total, 6)
+    )
+
+
 def quality_score(col: Column) -> Column:
     """Composite curation score in [0,1]: length band + stopword presence −
     punctuation excess. Deterministic, explainable, oracle-checkable."""

@@ -284,3 +284,47 @@ def test_lint_single_shuffle(spark):
         lint_transcripts(state)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1 and "Window" not in plan
+
+
+# ------------------------------------------------------------- repetition
+
+
+def test_repetition_ratio_values(spark):
+    from kettle_jena_plugins_spark.operators.text import repetition_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab,ba,ab,ba,ab -> 2/5 distinct
+            (2, "all words are unique here"),
+            (3, "x"),                # shorter than n -> 0.0
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["r2"], r["r3"])
+        for r in docs.select(
+            "doc_id",
+            repetition_ratio(F.col("text"), 2).alias("r2"),
+            repetition_ratio(F.col("text"), 3).alias("r3"),
+        ).collect()
+    }
+    assert out[1][0] == 0.6  # 1 - 2/5
+    assert out[2] == (0.0, 0.0)
+    assert out[3] == (0.0, 0.0)
+    assert out[4] == (0.0, 0.0)
+    # trigrams of doc1: aba,bab,aba,bab -> 1 - 2/4
+    assert out[1][1] == 0.5
+
+
+def test_repetition_ratio_is_narrow(spark):
+    from kettle_jena_plugins_spark.operators.text import repetition_ratio
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        docs.select(repetition_ratio(F.col("text")).alias("r"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
