@@ -1012,6 +1012,28 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter: per-doc structural signals
+    (mean word length, symbol/alpha/bullet/ellipsis/repetition ratios) and
+    an explainable keep decision with the failed-rule list — the curation
+    analogue of the reference's SHACL pass/dead-letter split with
+    per-reason accounting (JenaShaclStep.java). One narrow projection
+    (operators/quality.py)."""
+    from kettle_jena_plugins_spark.operators.quality import quality_filter
+
+    return quality_filter(_docs(spark, sf_dir))
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection over the dup-injected corpus: md5 hashes
+    of non-overlapping 8-token tiles counted corpus-wide; per doc the
+    fraction of its tiles that recur anywhere — the scalable stand-in for
+    suffix-array substring dedup (operators/dedup.py:span_dup_stats)."""
+    from kettle_jena_plugins_spark.operators.dedup import span_dup_stats
+
+    return span_dup_stats(_docs_with_dups(spark, sf_dir))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-then-chunk training layout): per modular
     shard, documents concatenate in doc_id order and the token stream is cut
@@ -1112,6 +1134,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "transcript_lint": q_transcript_lint,
     "text_repetition": q_text_repetition,
+    "quality_rules": q_quality_rules,
+    "span_dedup": q_span_dedup,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "group_merge_policies": q_group_merge_policies,
@@ -1603,6 +1627,90 @@ SELECT doc_id,
                  / (len(toks) - 2), 6) END AS rep3
 FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
       FROM documents)
+""",
+    "quality_rules": """
+WITH base AS (
+    SELECT doc_id, text,
+           string_split_regex(trim(lower(text)), '\\s+') AS tk,
+           string_split(text, chr(10)) AS lines,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+    FROM documents
+),
+sig AS (
+    SELECT doc_id, n_tokens,
+           round(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+                 / greatest(n_tokens, 1), 6) AS mean_word_len,
+           round((len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\\.\\.\\.'))
+                  + len(regexp_extract_all(text, '…')))
+                 / greatest(n_tokens, 1), 6) AS symbol_ratio,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE round(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+                     / greatest(n_tokens, 1), 6) END AS alpha_frac,
+           round(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+                 / greatest(len(lines), 1), 6) AS bullet_frac,
+           round(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                 / greatest(len(lines), 1), 6) AS ellipsis_frac,
+           CASE WHEN len(tk) < 2 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(list_transform(
+                         range(1, len(tk)),
+                         i -> tk[i] || ' ' || tk[i + 1])))
+                     / (len(tk) - 1), 6) END AS rep2,
+           len(regexp_extract_all(lower(text),
+               '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS stop_hits
+    FROM base
+),
+flagged AS (
+    SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_frac,
+           bullet_frac, ellipsis_frac, rep2,
+           list_filter([
+               CASE WHEN n_tokens < 10 THEN 'too_few_tokens' END,
+               CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+               CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                    THEN 'word_len_band' END,
+               CASE WHEN symbol_ratio > 0.1 THEN 'symbol_ratio' END,
+               CASE WHEN alpha_frac < 0.8 THEN 'alpha_frac' END,
+               CASE WHEN bullet_frac > 0.9 THEN 'bullet_lines' END,
+               CASE WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines' END,
+               CASE WHEN rep2 > 0.5 THEN 'repetition' END,
+               CASE WHEN stop_hits < 2 THEN 'stopwords' END
+           ], x -> x IS NOT NULL) AS fail_reasons
+    FROM sig
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       mean_word_len, symbol_ratio, alpha_frac, bullet_frac,
+       ellipsis_frac, rep2, fail_reasons,
+       len(fail_reasons) = 0 AS keep
+FROM flagged
+""",
+    "span_dedup": f"""
+WITH {_DOCS_DUPS_CTE},
+tk AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+    FROM docs2
+),
+tiles AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(toks) // 8),
+               i -> md5(array_to_string(
+                       toks[(i * 8 + 1):(i * 8 + 8)], ' ')))) AS h
+    FROM tk
+),
+counts AS (SELECT h, count(*) AS cnt FROM tiles GROUP BY h),
+per_doc AS (
+    SELECT t.doc_id,
+           count(*) AS n_tiles,
+           sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS dup_tiles
+    FROM tiles t JOIN counts c USING (h)
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tiles, 0) AS INTEGER) AS n_tiles,
+       CAST(coalesce(p.dup_tiles, 0) AS INTEGER) AS dup_tiles,
+       coalesce(round(p.dup_tiles / p.n_tiles, 6), 0.0) AS dup_frac
+FROM docs2 d LEFT JOIN per_doc p USING (doc_id)
 """,
     "pack_sequences": f"""
 WITH d AS (

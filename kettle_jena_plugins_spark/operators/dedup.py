@@ -399,3 +399,65 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def token_tiles(col: str | Column, t: int = 8) -> Column:
+    """Non-overlapping t-token tiles (space-joined, lowercased); only FULL
+    tiles — the trailing partial tile is dropped (it is almost always
+    unique and would dilute duplicate counts). Docs shorter than t tokens
+    yield an empty array.
+
+    Built from the stride-1 n-gram stream (zip_with over shifted token
+    arrays — split() evaluates once per row) by keeping every t-th gram
+    via the (element, index) filter lambda, which references only its
+    index — NOT the backing array — so there is no per-element
+    re-expansion (CLAUDE.md projection-collapse trap; the obvious
+    transform-over-tile-starts form re-tokenizes per tile)."""
+    from .decontam import ngram_stream
+
+    c = F.col(col) if isinstance(col, str) else col
+    grams = ngram_stream(c, t)
+    return F.filter(grams, lambda _, i: i % t == 0)
+
+
+def span_dup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", t: int = 8
+) -> DataFrame:
+    """Duplicated-span detection — the scalable approximation of
+    suffix-array substring dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): hash non-overlapping
+    t-token tiles, count each tile hash corpus-wide, and report per
+    document how many of its tiles occur more than once anywhere.
+
+    Plan shape at 100 TB: tile explode is narrow; the corpus-wide count
+    is ONE groupBy on the tile hash (map-side combine absorbs per-doc
+    repeats); the count join shuffles on the same hash key (AQE reuses
+    the exchange); the per-doc rollup is the only doc-keyed shuffle.
+    Tile hashes are md5 (oracle-portable, CLAUDE.md).
+
+    Returns (doc_id, n_tiles, dup_tiles, dup_frac) for EVERY input doc —
+    docs shorter than t tokens report 0 tiles, 0.0 dup_frac."""
+    tiles = df.select(
+        F.col(id_col), F.explode(token_tiles(F.col(text_col), t)).alias("tile")
+    ).select(id_col, F.md5(F.col("tile")).alias("h"))
+    counts = tiles.groupBy("h").agg(F.count("*").alias("cnt"))
+    per_doc = (
+        tiles.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_tiles"),
+            F.sum((F.col("cnt") > 1).cast("int")).cast("int").alias("dup_tiles"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tiles", F.lit(0)).alias("n_tiles"),
+            F.coalesce("dup_tiles", F.lit(0)).alias("dup_tiles"),
+            F.round(
+                F.coalesce(F.col("dup_tiles") / F.col("n_tiles"), F.lit(0.0)), 6
+            ).alias("dup_frac"),
+        )
+    )
