@@ -1012,6 +1012,35 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-on-ingest (the CDC-shaped dedup operator): the
+    injected-duplicate batch (doc_id ≥ 1e6) is deduped AGAINST the original
+    corpus as a pre-built index — directional minhash-LSH propose with the
+    micro-batch side broadcast, then exact Jaccard verify
+    (operators/dedup.py:dedup_against_index). The index is never
+    self-paired or reshuffled per batch."""
+    from kettle_jena_plugins_spark.operators.dedup import dedup_against_index
+
+    d = _docs_with_dups(spark, sf_dir)
+    return dedup_against_index(
+        d.filter(F.col("doc_id") >= 1_000_000),
+        d.filter(F.col("doc_id") < 1_000_000),
+    )
+
+
+def q_transcript_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-transcript tool profiling: per-conversation tool-turn counts,
+    distinct tools, tool fraction and the longest consecutive tool-call
+    run — all inside ONE hash agg (run length folds over collected sorted
+    structs, no window); the oracle is an independent gaps-and-islands
+    window formulation (operators/transcripts.py:agent_tool_stats)."""
+    from kettle_jena_plugins_spark.operators.transcripts import (
+        agent_tool_stats,
+    )
+
+    return agent_tool_stats(lww_state(change_events(spark, sf_dir)))
+
+
 def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality filter: per-doc structural signals
     (mean word length, symbol/alpha/bullet/ellipsis/repetition ratios) and
@@ -1136,6 +1165,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "quality_rules": q_quality_rules,
     "span_dedup": q_span_dedup,
+    "dedup_incremental": q_dedup_incremental,
+    "transcript_tool_stats": q_transcript_tool_stats,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "group_merge_policies": q_group_merge_policies,
@@ -1711,6 +1742,65 @@ SELECT d.doc_id,
        CAST(coalesce(p.dup_tiles, 0) AS INTEGER) AS dup_tiles,
        coalesce(round(p.dup_tiles / p.n_tiles, 6), 0.0) AS dup_frac
 FROM docs2 d LEFT JOIN per_doc p USING (doc_id)
+""",
+    "dedup_incremental": f"""
+WITH {_DOCS_DUPS_CTE},
+{_shingles_cte(5, "docs2")},
+{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS index_doc_id
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket
+     AND a.doc_id >= 1000000 AND b.doc_id < 1000000
+),
+shh AS (
+    SELECT doc_id,
+           list_transform(sh, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS sh
+    FROM sh
+),
+scored AS (
+    SELECT c.new_doc_id, c.index_doc_id,
+           len(list_intersect(sa.sh, sb.sh)) AS i,
+           len(sa.sh) AS na, len(sb.sh) AS nb
+    FROM cand c
+    JOIN shh sa ON sa.doc_id = c.new_doc_id
+    JOIN shh sb ON sb.doc_id = c.index_doc_id
+)
+SELECT new_doc_id, index_doc_id, round(i / (na + nb - i), 6) AS jaccard
+FROM scored WHERE round(i / (na + nb - i), 6) >= 0.8
+""",
+    "transcript_tool_stats": _LWW_RANKED
+    + """
+, state AS (
+    SELECT conv_id, turn_idx, tool
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+),
+marked AS (
+    SELECT conv_id, turn_idx, tool,
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           - row_number() OVER (PARTITION BY conv_id, (tool IS NOT NULL)
+                                ORDER BY turn_idx) AS grp
+    FROM state
+),
+runs AS (
+    SELECT conv_id, count(*) AS run_len
+    FROM marked WHERE tool IS NOT NULL GROUP BY conv_id, grp
+),
+agg AS (
+    SELECT conv_id,
+           count(*) AS n_turns,
+           sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns,
+           count(DISTINCT tool) AS n_tools
+    FROM state GROUP BY conv_id
+),
+best AS (SELECT conv_id, max(run_len) AS max_run FROM runs GROUP BY conv_id)
+SELECT a.conv_id,
+       CAST(a.n_turns AS BIGINT) AS n_turns,
+       CAST(a.n_tool_turns AS BIGINT) AS n_tool_turns,
+       CAST(a.n_tools AS INTEGER) AS n_tools,
+       round(a.n_tool_turns / a.n_turns, 6) AS tool_frac,
+       CAST(coalesce(b.max_run, 0) AS INTEGER) AS max_tool_run
+FROM agg a LEFT JOIN best b USING (conv_id)
 """,
     "pack_sequences": f"""
 WITH d AS (

@@ -401,6 +401,61 @@ def connected_components(
     )
 
 
+def dedup_against_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 12,
+    bands: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Ingest-time incremental dedup (the CDC-shaped dedup operator): flag
+    documents in a NEW micro-batch that near-duplicate an EXISTING corpus
+    index — dedup-on-ingest for a continuously growing training corpus,
+    so each batch is checked against 100 TB of history without ever
+    re-pairing the history with itself.
+
+    Directional propose-then-verify: both sides get minhash band buckets
+    (in production the index side is computed ONCE and persisted as a lake
+    table keyed by (band, bucket) — only the new batch hashes per run);
+    the join probes the index with the micro-batch-sized new side marked
+    broadcast, so the index is never reshuffled per batch. Candidates are
+    then exact-Jaccard verified (``jaccard_verify``) over the union of the
+    two doc sets. Within-batch duplicates are NOT reported — compose with
+    ``minhash_candidates`` on the new batch alone for that.
+
+    Returns (new_doc_id, index_doc_id, jaccard ≥ threshold). Requires the
+    two id spaces to be disjoint."""
+    idx_b = band_buckets(
+        minhash_signatures(index_df, text_col, id_col, n, k), k, bands
+    )
+    new_b = band_buckets(
+        minhash_signatures(new_df, text_col, id_col, n, k), k, bands
+    )
+    cand = (
+        idx_b.alias("i")
+        .join(
+            F.broadcast(new_b.alias("nb")),
+            (F.col("i.band") == F.col("nb.band"))
+            & (F.col("i.bucket") == F.col("nb.bucket")),
+        )
+        .select(
+            F.col("nb.id").alias("id_a"), F.col("i.id").alias("id_b")
+        )
+        .distinct()
+    )
+    both = new_df.select(id_col, text_col).unionByName(
+        index_df.select(id_col, text_col)
+    )
+    return jaccard_verify(both, cand, text_col, id_col, n, threshold).select(
+        F.col("id_a").alias("new_doc_id"),
+        F.col("id_b").alias("index_doc_id"),
+        "jaccard",
+    )
+
+
 def token_tiles(col: str | Column, t: int = 8) -> Column:
     """Non-overlapping t-token tiles (space-joined, lowercased); only FULL
     tiles — the trailing partial tile is dropped (it is almost always

@@ -112,3 +112,56 @@ def lint_transcripts(
         F.element_at(roles, 1).alias("first_role"),
         F.element_at(roles, -1).alias("last_role"),
     )
+
+
+def agent_tool_stats(
+    state: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-conversation tool-usage profile for agent transcripts — how
+    tool-call-heavy each conversation is and how deep its longest
+    uninterrupted tool loop runs (a curation signal: degenerate agent
+    loops show up as long max_tool_run, tool-free chat as tool_frac 0).
+
+    Output per conv_id: n_turns, n_tool_turns (tool non-null),
+    n_tools (distinct), tool_frac, max_tool_run (longest consecutive
+    tool-turn run in turn order).
+
+    Scale: ONE hash aggregation on conv_id (same discipline as
+    ``lint_transcripts``); the run length folds over the collected,
+    sorted (turn_idx, is_tool) structs with an ``aggregate`` lambda that
+    touches only its accumulator/element — no window, no second shuffle;
+    distinct tools via collect_set (bounded by the tool vocabulary, not
+    the turn count). The oracle uses an independent gaps-and-islands
+    window formulation."""
+    is_tool = F.col(tool_col).isNotNull()
+    turn = F.struct(F.col(turn_col).alias("i"), is_tool.alias("t"))
+    agg = state.groupBy(conv_col).agg(
+        F.sort_array(F.collect_list(turn)).alias("__t"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(is_tool.cast("long")).alias("n_tool_turns"),
+        F.size(F.collect_set(F.col(tool_col))).alias("n_tools"),
+    )
+    flags = F.transform(F.col("__t"), lambda t: t["t"])
+    step = lambda acc, x: F.struct(  # noqa: E731 — aggregate merge lambda
+        F.when(x, acc["cur"] + 1).otherwise(F.lit(0)).alias("cur"),
+        F.greatest(
+            acc["best"], F.when(x, acc["cur"] + 1).otherwise(F.lit(0))
+        ).alias("best"),
+    )
+    max_run = F.aggregate(
+        flags,
+        F.struct(F.lit(0).alias("cur"), F.lit(0).alias("best")),
+        step,
+        lambda acc: acc["best"],
+    )
+    return agg.select(
+        conv_col,
+        "n_turns",
+        "n_tool_turns",
+        "n_tools",
+        F.round(F.col("n_tool_turns") / F.col("n_turns"), 6).alias("tool_frac"),
+        max_run.alias("max_tool_run"),
+    )

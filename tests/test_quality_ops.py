@@ -107,3 +107,79 @@ def test_span_dup_within_doc_repeat(spark):
     )
     row = span_dup_stats(df, t=4).collect()[0]
     assert (row["n_tiles"], row["dup_tiles"]) == (2, 2)
+
+
+# ----------------------------------------------------- tool-usage profile
+
+
+def test_agent_tool_stats_runs(spark):
+    from kettle_jena_plugins_spark.operators.transcripts import (
+        agent_tool_stats,
+    )
+
+    rows = [
+        # c1: tools at turns 1,2,3 (run of 3) and 5 — collected out of order
+        ("c1", 3, "grep"), ("c1", 0, None), ("c1", 1, "grep"),
+        ("c1", 2, "sed"), ("c1", 4, None), ("c1", 5, "awk"),
+        # c2: no tools at all
+        ("c2", 0, None), ("c2", 1, None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string")
+    out = {r["conv_id"]: r for r in agent_tool_stats(df).collect()}
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["n_tool_turns"], c1["n_tools"]) == (6, 4, 3)
+    assert c1["max_tool_run"] == 3 and c1["tool_frac"] == 0.666667
+    c2 = out["c2"]
+    assert (c2["n_tool_turns"], c2["n_tools"], c2["max_tool_run"]) == (0, 0, 0)
+    assert c2["tool_frac"] == 0.0
+
+
+def test_agent_tool_stats_single_shuffle(spark):
+    from kettle_jena_plugins_spark.operators.transcripts import (
+        agent_tool_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", 0, None)], "conv_id string, turn_idx int, tool string"
+    )
+    plan = (
+        agent_tool_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1 and "Window" not in plan
+
+
+# ----------------------------------------------------- incremental dedup
+
+
+def test_dedup_against_index_directional(spark):
+    from kettle_jena_plugins_spark.operators.dedup import dedup_against_index
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    idx = spark.createDataFrame(
+        [(1, base), (2, "completely different words live in this text body"),
+         (3, base + " tail")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(101, base), (102, "nothing shared with any index document here")],
+        "doc_id long, text string",
+    )
+    out = dedup_against_index(new, idx, threshold=0.5).collect()
+    got = {(r["new_doc_id"], r["index_doc_id"]) for r in out}
+    assert (101, 1) in got                      # exact copy found
+    assert all(n >= 100 and i < 100 for n, i in got)  # strictly directional
+    assert not any(n == 102 for n, _ in got)    # novel doc untouched
+
+
+def test_dedup_against_index_broadcasts_new_side(spark):
+    from kettle_jena_plugins_spark.operators.dedup import dedup_against_index
+
+    idx = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    new = spark.createDataFrame([(9, "a b c d e f")], "doc_id long, text string")
+    plan = (
+        dedup_against_index(new, idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
