@@ -1041,6 +1041,18 @@ def q_transcript_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agent_tool_stats(lww_state(change_events(spark, sf_dir)))
 
 
+def q_transcript_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation template detection: per-conv fraction of turns
+    whose normalized (role, text) occurs ≥3 times corpus-wide — canned /
+    copy-pasted turns. Counting and join-back shuffle on one md5 key,
+    never raw text (operators/transcripts.py:templated_turn_stats)."""
+    from kettle_jena_plugins_spark.operators.transcripts import (
+        templated_turn_stats,
+    )
+
+    return templated_turn_stats(lww_state(change_events(spark, sf_dir)))
+
+
 def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality filter: per-doc structural signals
     (mean word length, symbol/alpha/bullet/ellipsis/repetition ratios) and
@@ -1167,6 +1179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "dedup_incremental": q_dedup_incremental,
     "transcript_tool_stats": q_transcript_tool_stats,
+    "transcript_templates": q_transcript_templates,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "group_merge_policies": q_group_merge_policies,
@@ -1801,6 +1814,30 @@ SELECT a.conv_id,
        round(a.n_tool_turns / a.n_turns, 6) AS tool_frac,
        CAST(coalesce(b.max_run, 0) AS INTEGER) AS max_tool_run
 FROM agg a LEFT JOIN best b USING (conv_id)
+""",
+    "transcript_templates": _LWW_RANKED
+    + """
+, state AS (
+    SELECT conv_id, role, text
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+),
+keyed AS (
+    SELECT conv_id,
+           CASE WHEN text IS NOT NULL
+                THEN md5(role || chr(31) || trim(lower(text))) END AS k
+    FROM state
+),
+counts AS (
+    SELECT k, count(*) AS cnt FROM keyed WHERE k IS NOT NULL GROUP BY k
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(coalesce(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_templated,
+       round(coalesce(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END), 0)
+             / count(*), 6) AS templated_frac
+FROM keyed LEFT JOIN counts USING (k)
+GROUP BY conv_id
 """,
     "pack_sequences": f"""
 WITH d AS (

@@ -114,6 +114,61 @@ def lint_transcripts(
     )
 
 
+def templated_turn_stats(
+    state: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Cross-conversation template detection: a turn is *templated* when
+    its normalized (role, text) occurs in ≥ ``min_count`` turns corpus-wide
+    — canned greetings, repeated tool boilerplate, copy-pasted replies.
+    Curation down-weights template-heavy conversations the same way
+    span-level dedup down-weights duplicated documents.
+
+    Scale: turns are keyed by ONE md5 over (role, normalized text) —
+    counting and the join back both shuffle on that fixed-width key, never
+    on raw text, and AQE reuses the count exchange; the conversation
+    rollup is the only conv-keyed shuffle. Null-text turns are counted in
+    n_turns but can never be templated.
+
+    Returns (conv_id, n_turns, n_templated, templated_frac)."""
+    # unit-separator delimiter prevents ("ab","c") / ("a","bc")
+    # collisions; the oracle reproduces it as chr(31)
+    key = F.md5(
+        F.concat_ws(
+            "\x1f", F.col(role_col), F.trim(F.lower(F.col(text_col)))
+        )
+    )
+    turns = state.select(
+        F.col(conv_col),
+        F.when(F.col(text_col).isNotNull(), key).alias("k"),
+    )
+    counts = (
+        turns.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    templated = (F.col("cnt") >= min_count).cast("long")
+    return (
+        turns.join(counts, "k", "left")
+        .groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.coalesce(F.sum(templated), F.lit(0)).alias("n_templated"),
+        )
+        .select(
+            conv_col,
+            "n_turns",
+            "n_templated",
+            F.round(F.col("n_templated") / F.col("n_turns"), 6).alias(
+                "templated_frac"
+            ),
+        )
+    )
+
+
 def agent_tool_stats(
     state: DataFrame,
     conv_col: str = "conv_id",

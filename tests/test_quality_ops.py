@@ -183,3 +183,31 @@ def test_dedup_against_index_broadcasts_new_side(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------- template detection
+
+
+def test_templated_turn_stats(spark):
+    from kettle_jena_plugins_spark.operators.transcripts import (
+        templated_turn_stats,
+    )
+
+    hello = "Hello! How can I help?"
+    rows = [
+        # the canned greeting appears in 3 conversations -> templated
+        ("c1", "assistant", hello), ("c2", "assistant", hello),
+        ("c3", "assistant", "  hello! how can i help?  "),  # normalizes equal
+        # same text under a DIFFERENT role is a different template key
+        ("c1", "user", hello),
+        # below threshold: only 2 occurrences
+        ("c1", "user", "thanks"), ("c2", "user", "thanks"),
+        # null text never counts as templated but rides n_turns
+        ("c3", "user", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, role string, text string")
+    out = {r["conv_id"]: r for r in templated_turn_stats(df).collect()}
+    assert (out["c1"]["n_turns"], out["c1"]["n_templated"]) == (3, 1)
+    assert (out["c2"]["n_turns"], out["c2"]["n_templated"]) == (2, 1)
+    assert (out["c3"]["n_turns"], out["c3"]["n_templated"]) == (2, 1)
+    assert out["c3"]["templated_frac"] == 0.5
