@@ -225,11 +225,29 @@ def jaccard_verify(
     ships far fewer bytes per document. A hash collision would miscount |∩|
     by 1 — negligible at 2^60, and the DuckDB oracle hashes identically so
     the comparison stays exact."""
+    return jaccard_verify_hashed(
+        hashed_shingles(df, text_col, id_col, n), candidates, threshold
+    )
+
+
+def hashed_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """(id, sh): each document's distinct n-gram set hashed to 60-bit ints
+    (first 15 hex chars of md5 — oracle-portable). The persisted form of a
+    dedup index's verify side."""
     hashed = F.transform(
         shingles(text_col, n),
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
     )
-    sh = df.select(F.col(id_col).alias("id"), hashed.alias("sh"))
+    return df.select(F.col(id_col).alias("id"), hashed.alias("sh"))
+
+
+def jaccard_verify_hashed(
+    sh: DataFrame, candidates: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Scoring core over pre-hashed shingle sets (``hashed_shingles``
+    layout) — shared by the inline and saved-index verify paths."""
     j = (
         candidates.join(
             sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
@@ -450,6 +468,77 @@ def dedup_against_index(
         index_df.select(id_col, text_col)
     )
     return jaccard_verify(both, cand, text_col, id_col, n, threshold).select(
+        F.col("id_a").alias("new_doc_id"),
+        F.col("id_b").alias("index_doc_id"),
+        "jaccard",
+    )
+
+
+def build_dedup_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 12,
+    bands: int = 3,
+) -> None:
+    """Persist the corpus dedup index that ``dedup_against_saved_index``
+    probes: ``{path}/buckets`` — (id, bucket) partitioned by band — and
+    ``{path}/shingles`` — (id, sh) hashed n-gram sets for the verify stage.
+    Built ONCE per corpus (or incrementally appended per accepted batch);
+    after that, per-ingest batches never re-hash or re-shuffle history.
+    Band partitioning lets a probe restricted to a band subset prune
+    files at the scan."""
+    sigs = minhash_signatures(df, text_col, id_col, n, k)
+    band_buckets(sigs, k, bands).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(f"{path}/buckets")
+    hashed_shingles(df, text_col, id_col, n).write.mode("overwrite").parquet(
+        f"{path}/shingles"
+    )
+
+
+def dedup_against_saved_index(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 12,
+    bands: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """``dedup_against_index`` against a persisted index
+    (``build_dedup_index`` layout): only the NEW batch is hashed this run —
+    the index side is two parquet scans (buckets for propose, shingles for
+    verify), so per-ingest cost is O(batch + candidates), independent of
+    how much history the index holds. Same output contract:
+    (new_doc_id, index_doc_id, jaccard ≥ threshold)."""
+    idx_b = spark.read.parquet(f"{index_path}/buckets")
+    new_b = band_buckets(
+        minhash_signatures(new_df, text_col, id_col, n, k), k, bands
+    )
+    cand = (
+        idx_b.alias("i")
+        .join(
+            F.broadcast(new_b.alias("nb")),
+            (F.col("i.band") == F.col("nb.band"))
+            & (F.col("i.bucket") == F.col("nb.bucket")),
+        )
+        .select(F.col("nb.id").alias("id_a"), F.col("i.id").alias("id_b"))
+        .distinct()
+    )
+    # ids are expected to be disjoint; if a batch re-uses an index id the
+    # batch's text wins (anti-join, broadcast by AQE — batch side is small)
+    sh_new = hashed_shingles(new_df, text_col, id_col, n)
+    sh = (
+        spark.read.parquet(f"{index_path}/shingles")
+        .join(sh_new.select("id"), "id", "left_anti")
+        .unionByName(sh_new)
+    )
+    return jaccard_verify_hashed(sh, cand, threshold).select(
         F.col("id_a").alias("new_doc_id"),
         F.col("id_b").alias("index_doc_id"),
         "jaccard",

@@ -11,6 +11,9 @@ Commands:
            between two committed snapshots (incremental consumption)
   maintain --table DIR [--keep-last N]                     expire old snapshots
            and reclaim unreferenced data files
+  index    build --docs PATH --index DIR | probe --docs PATH --index DIR
+           build/probe the persisted dedup index (dedup-on-ingest: history
+           is hashed once at build; each probe costs O(batch + candidates))
   pipeline --spec FILE --input PATH [--sink DIR] [--var k=v]
            run a declarative pipeline spec over a parquet input (the
            `.ktr`-file entry point: reference EndToEndIT.java:60-92 runs a
@@ -93,6 +96,13 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--keep-last", type=int, default=2)
     mt.add_argument("--compact", action="store_true",
                     help="resolve multi-layer buckets before expiring")
+
+    ix = sub.add_parser("index")
+    ix.add_argument("action", choices=("build", "probe"))
+    ix.add_argument("--docs", required=True, help="parquet of (doc_id, text)")
+    ix.add_argument("--index", required=True, help="index directory")
+    ix.add_argument("--threshold", type=float, default=0.8)
+    ix.add_argument("--limit", type=int, default=20)
 
     pl = sub.add_parser("pipeline")
     pl.add_argument("--spec", required=True, help="JSON pipeline spec file")
@@ -178,6 +188,29 @@ def main(argv: list[str] | None = None) -> int:
             out["buckets_compacted"] = tgt.compact()
         out.update(tgt.expire_snapshots(keep_last=args.keep_last))
         print(json.dumps(out))
+    elif args.cmd == "index":
+        from .operators.dedup import build_dedup_index, dedup_against_saved_index
+
+        docs = spark.read.parquet(args.docs)
+        if args.action == "build":
+            t0 = time.time()
+            build_dedup_index(docs, args.index)
+            print(json.dumps({
+                "index": args.index, "docs": docs.count(),
+                "wall_sec": round(time.time() - t0, 2),
+            }))
+        else:
+            t0 = time.time()
+            hits = dedup_against_saved_index(
+                spark, docs, args.index, threshold=args.threshold
+            )
+            n = hits.count()
+            for r in hits.limit(args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+            print(json.dumps({
+                "duplicates": n, "batch_docs": docs.count(),
+                "wall_sec": round(time.time() - t0, 2),
+            }))
     elif args.cmd == "pipeline":
         from .plans.pipeline import parse, run_pipeline
 

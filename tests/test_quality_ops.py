@@ -211,3 +211,34 @@ def test_templated_turn_stats(spark):
     assert (out["c2"]["n_turns"], out["c2"]["n_templated"]) == (2, 1)
     assert (out["c3"]["n_turns"], out["c3"]["n_templated"]) == (2, 1)
     assert out["c3"]["templated_frac"] == 0.5
+
+
+def test_saved_index_matches_inline(spark, tmp_path):
+    from kettle_jena_plugins_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        dedup_against_saved_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    idx = spark.createDataFrame(
+        [(1, base), (2, "completely different words live in this text body"),
+         (3, base + " tail")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(101, base), (102, "nothing shared with any index document here")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "dedup_index")
+    build_dedup_index(idx, p)
+    inline = sorted(
+        tuple(r) for r in dedup_against_index(new, idx, threshold=0.5).collect()
+    )
+    saved = sorted(
+        tuple(r)
+        for r in dedup_against_saved_index(
+            spark, new, p, threshold=0.5
+        ).collect()
+    )
+    assert inline == saved and len(saved) >= 1
