@@ -452,18 +452,7 @@ def dedup_against_index(
     new_b = band_buckets(
         minhash_signatures(new_df, text_col, id_col, n, k), k, bands
     )
-    cand = (
-        idx_b.alias("i")
-        .join(
-            F.broadcast(new_b.alias("nb")),
-            (F.col("i.band") == F.col("nb.band"))
-            & (F.col("i.bucket") == F.col("nb.bucket")),
-        )
-        .select(
-            F.col("nb.id").alias("id_a"), F.col("i.id").alias("id_b")
-        )
-        .distinct()
-    )
+    cand = _probe_candidates(idx_b, new_b)
     both = new_df.select(id_col, text_col).unionByName(
         index_df.select(id_col, text_col)
     )
@@ -471,6 +460,22 @@ def dedup_against_index(
         F.col("id_a").alias("new_doc_id"),
         F.col("id_b").alias("index_doc_id"),
         "jaccard",
+    )
+
+
+def _probe_candidates(idx_b: DataFrame, new_b: DataFrame) -> DataFrame:
+    """Directional LSH propose shared by the inline and saved-index paths:
+    probe the index buckets with the (broadcast) new-batch buckets —
+    (id_a = new id, id_b = index id), distinct."""
+    return (
+        idx_b.alias("i")
+        .join(
+            F.broadcast(new_b.alias("nb")),
+            (F.col("i.band") == F.col("nb.band"))
+            & (F.col("i.bucket") == F.col("nb.bucket")),
+        )
+        .select(F.col("nb.id").alias("id_a"), F.col("i.id").alias("id_b"))
+        .distinct()
     )
 
 
@@ -484,12 +489,18 @@ def build_dedup_index(
     bands: int = 3,
 ) -> None:
     """Persist the corpus dedup index that ``dedup_against_saved_index``
-    probes: ``{path}/buckets`` — (id, bucket) partitioned by band — and
-    ``{path}/shingles`` — (id, sh) hashed n-gram sets for the verify stage.
-    Built ONCE per corpus (or incrementally appended per accepted batch);
-    after that, per-ingest batches never re-hash or re-shuffle history.
-    Band partitioning lets a probe restricted to a band subset prune
-    files at the scan."""
+    probes: ``{path}/buckets`` — (id, bucket) partitioned by band —
+    ``{path}/shingles`` — (id, sh) hashed n-gram sets for the verify
+    stage — and ``{path}/meta.json`` recording {n, k, bands} so probes
+    hash their batch with the exact parameters the index was built with
+    (a silent mismatch would return an empty candidate set). Built ONCE
+    per corpus (or incrementally appended per accepted batch); after
+    that, per-ingest batches never re-hash or re-shuffle history. Band
+    partitioning lets a probe restricted to a band subset prune files at
+    the scan."""
+    import json
+    import os
+
     sigs = minhash_signatures(df, text_col, id_col, n, k)
     band_buckets(sigs, k, bands).write.mode("overwrite").partitionBy(
         "band"
@@ -497,6 +508,8 @@ def build_dedup_index(
     hashed_shingles(df, text_col, id_col, n).write.mode("overwrite").parquet(
         f"{path}/shingles"
     )
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"n": n, "k": k, "bands": bands}, f)
 
 
 def dedup_against_saved_index(
@@ -505,31 +518,27 @@ def dedup_against_saved_index(
     index_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n: int = 5,
-    k: int = 12,
-    bands: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
     """``dedup_against_index`` against a persisted index
     (``build_dedup_index`` layout): only the NEW batch is hashed this run —
     the index side is two parquet scans (buckets for propose, shingles for
     verify), so per-ingest cost is O(batch + candidates), independent of
-    how much history the index holds. Same output contract:
+    how much history the index holds. The batch is hashed with the {n, k,
+    bands} recorded in the index's meta.json — they are build-time
+    properties of the index, not probe options. Same output contract:
     (new_doc_id, index_doc_id, jaccard ≥ threshold)."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    n, k, bands = meta["n"], meta["k"], meta["bands"]
     idx_b = spark.read.parquet(f"{index_path}/buckets")
     new_b = band_buckets(
         minhash_signatures(new_df, text_col, id_col, n, k), k, bands
     )
-    cand = (
-        idx_b.alias("i")
-        .join(
-            F.broadcast(new_b.alias("nb")),
-            (F.col("i.band") == F.col("nb.band"))
-            & (F.col("i.bucket") == F.col("nb.bucket")),
-        )
-        .select(F.col("nb.id").alias("id_a"), F.col("i.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _probe_candidates(idx_b, new_b)
     # ids are expected to be disjoint; if a batch re-uses an index id the
     # batch's text wins (anti-join, broadcast by AQE — batch side is small)
     sh_new = hashed_shingles(new_df, text_col, id_col, n)
@@ -573,20 +582,23 @@ def span_dup_stats(
     t-token tiles, count each tile hash corpus-wide, and report per
     document how many of its tiles occur more than once anywhere.
 
-    Plan shape at 100 TB: tile explode is narrow; the corpus-wide count
-    is ONE groupBy on the tile hash (map-side combine absorbs per-doc
-    repeats); the count join shuffles on the same hash key (AQE reuses
-    the exchange); the per-doc rollup is the only doc-keyed shuffle.
+    Plan shape at 100 TB: tile explode is narrow and runs ONCE — the
+    corpus-wide count is a whole-partition window count over the tile
+    hash (one shuffle on the fixed-width md5 key, no self-join, no second
+    tokenize pass; a groupBy+join-back formulation re-ran the n-gram
+    chain per side); the per-doc rollup is the only doc-keyed shuffle.
     Tile hashes are md5 (oracle-portable, CLAUDE.md).
 
     Returns (doc_id, n_tiles, dup_tiles, dup_frac) for EVERY input doc —
     docs shorter than t tokens report 0 tiles, 0.0 dup_frac."""
+    from pyspark.sql import Window
+
     tiles = df.select(
         F.col(id_col), F.explode(token_tiles(F.col(text_col), t)).alias("tile")
     ).select(id_col, F.md5(F.col("tile")).alias("h"))
-    counts = tiles.groupBy("h").agg(F.count("*").alias("cnt"))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
     per_doc = (
-        tiles.join(counts, "h")
+        tiles.withColumn("cnt", cnt)
         .groupBy(id_col)
         .agg(
             F.count("*").cast("int").alias("n_tiles"),

@@ -134,11 +134,16 @@ def templated_turn_stats(
     n_turns but can never be templated.
 
     Returns (conv_id, n_turns, n_templated, templated_frac)."""
-    # unit-separator delimiter prevents ("ab","c") / ("a","bc")
-    # collisions; the oracle reproduces it as chr(31)
+    # unit-separator delimiter prevents ("ab","c") / ("a","bc") collisions;
+    # the oracle reproduces it as chr(31). concat (not concat_ws): a null
+    # role must null the whole key exactly as SQL `||` does — concat_ws
+    # would silently drop the field AND its separator, both diverging from
+    # the oracle and colliding (null, "a\x1fb") with ("a", "b")
     key = F.md5(
-        F.concat_ws(
-            "\x1f", F.col(role_col), F.trim(F.lower(F.col(text_col)))
+        F.concat(
+            F.col(role_col),
+            F.lit("\x1f"),
+            F.trim(F.lower(F.col(text_col))),
         )
     )
     turns = state.select(

@@ -201,14 +201,15 @@ def main(argv: list[str] | None = None) -> int:
             }))
         else:
             t0 = time.time()
-            hits = dedup_against_saved_index(
+            # collect once — count() + limit().collect() would each re-run
+            # the whole propose+verify DAG the index exists to keep cheap
+            rows = dedup_against_saved_index(
                 spark, docs, args.index, threshold=args.threshold
-            )
-            n = hits.count()
-            for r in hits.limit(args.limit).collect():
+            ).collect()
+            for r in rows[: args.limit]:
                 print(json.dumps(r.asDict(), default=str))
             print(json.dumps({
-                "duplicates": n, "batch_docs": docs.count(),
+                "duplicates": len(rows), "batch_docs": docs.count(),
                 "wall_sec": round(time.time() - t0, 2),
             }))
     elif args.cmd == "pipeline":
