@@ -1053,6 +1053,16 @@ def q_transcript_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return templated_turn_stats(lww_state(change_events(spark, sf_dir)))
 
 
+def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate mining: top-20 word trigrams by total
+    occurrence (ties broken by gram text — deterministic). One narrow
+    explode + one hash agg + TakeOrdered
+    (operators/text.py:corpus_ngram_counts)."""
+    from kettle_jena_plugins_spark.operators.text import corpus_ngram_counts
+
+    return corpus_ngram_counts(_docs(spark, sf_dir), n=3, top=20)
+
+
 def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality filter: per-doc structural signals
     (mean word length, symbol/alpha/bullet/ellipsis/repetition ratios) and
@@ -1180,6 +1190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "transcript_tool_stats": q_transcript_tool_stats,
     "transcript_templates": q_transcript_templates,
+    "corpus_ngrams": q_corpus_ngrams,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "group_merge_policies": q_group_merge_policies,
@@ -1671,6 +1682,21 @@ SELECT doc_id,
                  / (len(toks) - 2), 6) END AS rep3
 FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
       FROM documents)
+""",
+    "corpus_ngrams": """
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+    SELECT unnest(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+           )) AS gram
+    FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents)
+    WHERE len(toks) >= 3
+)
+GROUP BY gram
+ORDER BY cnt DESC, gram
+LIMIT 20
 """,
     "quality_rules": """
 WITH base AS (

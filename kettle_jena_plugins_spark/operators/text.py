@@ -69,6 +69,33 @@ def repetition_ratio(col: Column, n: int = 2) -> Column:
     )
 
 
+def corpus_ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    top: int = 20,
+) -> DataFrame:
+    """Corpus-wide boilerplate mining: the ``top`` most frequent word
+    n-grams across all documents (duplicates within a doc count — that is
+    the point), ties broken by gram text ascending so the result is
+    deterministic. What the top grams name is what a boilerplate-stripping
+    pass would target next.
+
+    Scale: explode is narrow over the zip_with n-gram stream (one split
+    per row); the count is ONE hash agg on the gram (map-side combine
+    absorbs within-partition repeats); top-k is a TakeOrdered over the
+    ~distinct-gram-sized agg output, not a global sort of the corpus."""
+    from .decontam import ngram_stream
+
+    return (
+        df.select(F.explode(ngram_stream(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(top)
+    )
+
+
 def quality_score(col: Column) -> Column:
     """Composite curation score in [0,1]: length band + stopword presence −
     punctuation excess. Deterministic, explainable, oracle-checkable."""

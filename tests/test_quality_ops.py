@@ -242,3 +242,17 @@ def test_saved_index_matches_inline(spark, tmp_path):
         ).collect()
     )
     assert inline == saved and len(saved) >= 1
+
+
+def test_corpus_ngram_counts(spark):
+    from kettle_jena_plugins_spark.operators.text import corpus_ngram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c d"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    out = [(r["gram"], r["cnt"]) for r in corpus_ngram_counts(df, top=3).collect()]
+    # "a b c" appears 3x (twice in doc1 via overlap? no - stride 1: doc1
+    # trigrams = [abc, bca, cab, abc]; doc2 = [abc, bcd]) -> abc x3
+    assert out[0] == ("a b c", 3)
+    assert out[1][1] == 1 and out[1][0] < out[2][0]  # tie broken by gram asc
