@@ -256,3 +256,26 @@ def test_corpus_ngram_counts(spark):
     # trigrams = [abc, bca, cab, abc]; doc2 = [abc, bcd]) -> abc x3
     assert out[0] == ("a b c", 3)
     assert out[1][1] == 1 and out[1][0] < out[2][0]  # tie broken by gram asc
+
+
+def test_span_dup_single_tile_pass(spark):
+    # regression: the groupBy+join-back formulation re-ran the tokenize +
+    # explode chain per join side; the window-count plan must hold ONE
+    from kettle_jena_plugins_spark.operators.dedup import span_dup_stats
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = (
+        span_dup_stats(df, t=2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Generate") == 1
+
+
+def test_corpus_ngrams_no_global_sort(spark):
+    # top-k must be TakeOrdered over the agg output, not a global sort
+    from kettle_jena_plugins_spark.operators.text import corpus_ngram_counts
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = (
+        corpus_ngram_counts(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
