@@ -512,6 +512,33 @@ def build_dedup_index(
         json.dump({"n": n, "k": k, "bands": bands}, f)
 
 
+def append_to_dedup_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold an ACCEPTED batch into an existing index (``build_dedup_index``
+    layout) — the per-ingest lifecycle is probe → keep/drop decision →
+    append the keepers so the NEXT batch dedups against them too. The
+    batch is hashed with the {n, k, bands} recorded in the index's
+    meta.json; existing index files are untouched (append-only parquet
+    writes), so the append costs O(batch) regardless of index size."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    n, k, bands = meta["n"], meta["k"], meta["bands"]
+    sigs = minhash_signatures(df, text_col, id_col, n, k)
+    band_buckets(sigs, k, bands).write.mode("append").partitionBy(
+        "band"
+    ).parquet(f"{path}/buckets")
+    hashed_shingles(df, text_col, id_col, n).write.mode("append").parquet(
+        f"{path}/shingles"
+    )
+
+
 def dedup_against_saved_index(
     spark,
     new_df: DataFrame,

@@ -11,9 +11,10 @@ Commands:
            between two committed snapshots (incremental consumption)
   maintain --table DIR [--keep-last N]                     expire old snapshots
            and reclaim unreferenced data files
-  index    build --docs PATH --index DIR | probe --docs PATH --index DIR
-           build/probe the persisted dedup index (dedup-on-ingest: history
-           is hashed once at build; each probe costs O(batch + candidates))
+  index    {build|probe|append} --docs PATH --index DIR
+           persisted dedup index lifecycle (dedup-on-ingest): history is
+           hashed once at build; each probe costs O(batch + candidates);
+           accepted batches append without touching existing files
   pipeline --spec FILE --input PATH [--sink DIR] [--var k=v]
            run a declarative pipeline spec over a parquet input (the
            `.ktr`-file entry point: reference EndToEndIT.java:60-92 runs a
@@ -98,7 +99,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="resolve multi-layer buckets before expiring")
 
     ix = sub.add_parser("index")
-    ix.add_argument("action", choices=("build", "probe"))
+    ix.add_argument("action", choices=("build", "probe", "append"))
     ix.add_argument("--docs", required=True, help="parquet of (doc_id, text)")
     ix.add_argument("--index", required=True, help="index directory")
     ix.add_argument("--threshold", type=float, default=0.8)
@@ -189,14 +190,22 @@ def main(argv: list[str] | None = None) -> int:
         out.update(tgt.expire_snapshots(keep_last=args.keep_last))
         print(json.dumps(out))
     elif args.cmd == "index":
-        from .operators.dedup import build_dedup_index, dedup_against_saved_index
+        from .operators.dedup import (
+            append_to_dedup_index,
+            build_dedup_index,
+            dedup_against_saved_index,
+        )
 
         docs = spark.read.parquet(args.docs)
-        if args.action == "build":
+        if args.action in ("build", "append"):
             t0 = time.time()
-            build_dedup_index(docs, args.index)
+            if args.action == "build":
+                build_dedup_index(docs, args.index)
+            else:
+                append_to_dedup_index(docs, args.index)
             print(json.dumps({
-                "index": args.index, "docs": docs.count(),
+                "index": args.index, "action": args.action,
+                "docs": docs.count(),
                 "wall_sec": round(time.time() - t0, 2),
             }))
         else:

@@ -31,6 +31,11 @@ class CDCConfig:
     salted: bool = False
     salt_buckets: int = 16
     normalize: bool = True
+    # ingest-time PII-style scrubbing (operators/text.py:redact_text):
+    # applied with normalize, POST-reduce on LWW winners only — chained
+    # JVM-side regexp_replace, so the per-event path stays Python-free and
+    # redaction cost scales with FINAL rows, not delivered events
+    redact: bool = False
     dead_letter_dir: str | None = None
     metrics_path: str | None = None  # jsonl, one line per batch
     validation: ValidationSpec = field(default_factory=ValidationSpec)
@@ -113,8 +118,14 @@ def apply_batch(
     # selection never reads the payload, and normalize is idempotent, so
     # reduce-then-normalize ≡ normalize-then-reduce.
     def _normalize(df: DataFrame) -> DataFrame:
-        if cfg.normalize and "text" in df.columns:
-            return df.withColumn("text", normalize_text(F.col("text")))
+        if "text" not in df.columns:
+            return df
+        if cfg.normalize:
+            df = df.withColumn("text", normalize_text(F.col("text")))
+        if cfg.redact:
+            from ..operators.text import redact_text
+
+            df = df.withColumn("text", redact_text(F.col("text")))
         return df
 
     # 3. schema evolution: ALTER before the merge plan is analyzed
@@ -196,7 +207,9 @@ def apply_batch(
         sink_kwargs = {
             "salted": cfg.salted,
             "salt_buckets": cfg.salt_buckets,
-            "transform_reduced": _normalize if cfg.normalize else None,
+            "transform_reduced": (
+                _normalize if (cfg.normalize or cfg.redact) else None
+            ),
         }
     res = target.merge_batch(reduced, batch_id, stream_id=stream_id, **sink_kwargs)
     res.extra["dead_letter_rows"] = n_dead

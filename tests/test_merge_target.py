@@ -241,3 +241,23 @@ def test_normalize_post_reduce_applies_to_winners(spark, target):
         (r["conv_id"], r["turn_idx"]): r["text"] for r in target.read().collect()
     }
     assert state[("c1", 0)] == "newer value"
+
+
+def test_redact_on_ingest(spark, tmp_path):
+    # cfg.redact scrubs PII post-reduce on LWW winners — both merge paths
+    t = ParquetLakeTarget(spark, str(tmp_path / "rtbl"), n_buckets=2, mode="mor")
+    t.create()
+    try:
+        b = make_events(spark, [
+            ev("I", 1, 1, "a", 0, text="mail me at bob@example.com ok"),
+            ev("I", 2, 2, "a", 1, text="from 10.0.0.7 with love"),
+            ev("U", 3, 3, "a", 0, text="final bob@example.com text"),
+        ])
+        apply_batch(t, b, 0, CDCConfig(redact=True, normalize=False))
+        s = state(t)
+        assert s[("a", 0)][1] == "final <EMAIL> text"  # LWW winner, redacted
+        assert s[("a", 1)][1] == "from <IP> with love"
+        raw = " ".join(v[1] for v in s.values())
+        assert "bob@example.com" not in raw and "10.0.0.7" not in raw
+    finally:
+        t.drop()

@@ -279,3 +279,29 @@ def test_corpus_ngrams_no_global_sort(spark):
         corpus_ngram_counts(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_index_append_lifecycle(spark, tmp_path):
+    # probe -> accept -> append -> the NEXT batch dedups against the keeper
+    from kettle_jena_plugins_spark.operators.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        dedup_against_saved_index,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again ok"
+    t2 = "an entirely novel document with its own particular set of words"
+    idx = spark.createDataFrame([(1, t1)], "doc_id long, text string")
+    p = str(tmp_path / "idx")
+    build_dedup_index(idx, p)
+
+    batch1 = spark.createDataFrame([(101, t2)], "doc_id long, text string")
+    assert dedup_against_saved_index(spark, batch1, p, threshold=0.5).count() == 0
+    append_to_dedup_index(batch1, p)  # accepted -> joins the index
+
+    batch2 = spark.createDataFrame(
+        [(201, t2), (202, "still nothing like anything indexed before now")],
+        "doc_id long, text string",
+    )
+    hits = dedup_against_saved_index(spark, batch2, p, threshold=0.5).collect()
+    assert {(r["new_doc_id"], r["index_doc_id"]) for r in hits} == {(201, 101)}
