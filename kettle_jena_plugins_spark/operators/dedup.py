@@ -86,6 +86,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 5,
     k: int = 12,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, m0..m{k-1}) — k min-hashes per document.
 
@@ -97,14 +98,16 @@ def minhash_signatures(
     collapse into a full signature recompute per band on each self-join
     side."""
     ex = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("g")
+        F.col(id_col).alias("id"),
+        *carry_cols,
+        F.explode(shingles(text_col, n)).alias("g"),
     )
     h = (
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
         % F.lit(P_MINHASH)
     ).alias("h")
     return (
-        ex.select("id", h)
+        ex.select("id", *carry_cols, h)
         .groupBy("id")
         .agg(
             *[
@@ -112,18 +115,26 @@ def minhash_signatures(
                     f"m{i}"
                 )
                 for i, (a, b) in enumerate(uh_consts(k))
-            ]
+            ],
+            # carry_cols are per-id constants riding the same agg (no join)
+            *[F.first(c).alias(c) for c in carry_cols],
         )
     )
 
 
-def band_buckets(sigs: DataFrame, k: int = 12, bands: int = 3) -> DataFrame:
+def band_buckets(
+    sigs: DataFrame,
+    k: int = 12,
+    bands: int = 3,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """(id, band, bucket): one LSH bucket per band; bucket key = the band's
     signature slice joined as a string. rows-per-band r = k/bands sets the
     similarity threshold curve t ≈ (1/bands)^(1/r)."""
     rows = k // bands
     return sigs.select(
         "id",
+        *carry_cols,
         F.explode(
             F.array(
                 *[
@@ -137,7 +148,7 @@ def band_buckets(sigs: DataFrame, k: int = 12, bands: int = 3) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", *carry_cols, "bb.band", "bb.bucket")
 
 
 def minhash_candidates(
@@ -437,21 +448,34 @@ def dedup_against_index(
 
     Directional propose-then-verify: both sides get minhash band buckets
     (in production the index side is computed ONCE and persisted as a lake
-    table keyed by (band, bucket) — only the new batch hashes per run);
+    table keyed by (band, bucket) — ``build_dedup_index`` /
+    ``dedup_against_saved_index``; only the new batch hashes per run);
     the join probes the index with the micro-batch-sized new side marked
     broadcast, so the index is never reshuffled per batch. Candidates are
     then exact-Jaccard verified (``jaccard_verify``) over the union of the
     two doc sets. Within-batch duplicates are NOT reported — compose with
     ``minhash_candidates`` on the new batch alone for that.
 
+    The inline form hashes BOTH sides this call, so signatures are
+    computed over one side-tagged union and split afterwards — the
+    signature agg is a shuffle barrier, so AQE reuses a single exchange
+    for both probe sides instead of running the shingle explode+agg
+    twice (same trick as ``minhash_candidates``; measured ~2× on the
+    dominant term).
+
     Returns (new_doc_id, index_doc_id, jaccard ≥ threshold). Requires the
     two id spaces to be disjoint."""
-    idx_b = band_buckets(
-        minhash_signatures(index_df, text_col, id_col, n, k), k, bands
+    tagged = new_df.select(
+        id_col, text_col, F.lit(True).alias("__new")
+    ).unionByName(
+        index_df.select(id_col, text_col, F.lit(False).alias("__new"))
     )
-    new_b = band_buckets(
-        minhash_signatures(new_df, text_col, id_col, n, k), k, bands
+    sigs = minhash_signatures(
+        tagged, text_col, id_col, n, k, carry_cols=("__new",)
     )
+    banded = band_buckets(sigs, k, bands, carry_cols=("__new",))
+    idx_b = banded.filter(~F.col("__new"))
+    new_b = banded.filter(F.col("__new"))
     cand = _probe_candidates(idx_b, new_b)
     both = new_df.select(id_col, text_col).unionByName(
         index_df.select(id_col, text_col)
