@@ -607,6 +607,204 @@ def lsh_buckets_np_multiprobe(
     )
 
 
+def _sub_sq_l2(sub: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance of a subvector column to a literal sub-centroid —
+    left-fold in double (same fold order as the DuckDB oracle's
+    list_reduce, so distances are bit-identical across engines)."""
+    lit_vec = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            lit_vec,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 8,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_hash: str = "md5",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: the vector space is
+    split into ``m`` contiguous subspaces; each subspace gets ``ksub``
+    sub-centroids. Seeds are the subvectors of the ksub corpus vectors with
+    smallest hash(id) — the same stable-at-any-parallelism seeding scheme as
+    ivf_centroids, and with seed_hash="md5" + n_iters=0 the DuckDB oracle
+    reproduces the codebooks exactly (list_slice over the same seed rows).
+
+    n_iters > 0 Lloyd-refines every subspace in ONE corpus pass per
+    iteration: codes for all m subspaces are computed in a single narrow
+    map, then one groupBy((j, cid, pos)) avg updates every sub-centroid —
+    cost is independent of m beyond the agg width.
+
+    Returns codebooks[j][c] = the c-th sub-centroid of subspace j.
+    """
+    h = (
+        F.md5(F.col("i").cast("string").cast("binary"))
+        if seed_hash == "md5"
+        else F.xxhash64(F.col("i"))
+    )
+    seeds = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .withColumn("h", h)
+        .orderBy("h", "i")
+        .limit(ksub)
+        .collect()
+    )
+    dim = len(seeds[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = [
+        [
+            [float(x) for x in r["v"][j * dsub : (j + 1) * dsub]]
+            for r in seeds
+        ]
+        for j in range(m)
+    ]
+    for _ in range(n_iters):
+        coded = corpus.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            _pq_code_expr(F.col(vec_col), j, dsub, books[j])
+                            .alias("cid"),
+                            F.slice(F.col(vec_col), j * dsub + 1, dsub)
+                            .alias("sub"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("j", "sc")
+        )
+        means = (
+            coded.select("j", F.col("sc.cid").alias("cid"),
+                         F.posexplode("sc.sub").alias("pos", "x"))
+            .groupBy("j", "cid", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .groupBy("j", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .collect()
+        )
+        for r in means:
+            books[r["j"]][r["cid"]] = [float(p["mval"]) for p in r["pm"]]
+    return books
+
+
+def _pq_code_expr(
+    vec: Column, j: int, dsub: int, book: list[list[float]]
+) -> Column:
+    """Nearest sub-centroid id for subspace j: array_min over
+    struct<d,c> — min distance, ties to the smallest centroid id."""
+    sub = F.slice(vec, j * dsub + 1, dsub)
+    scored = F.array(
+        *[
+            F.struct(_sub_sq_l2(sub, c).alias("d"), F.lit(ci).alias("c"))
+            for ci, c in enumerate(book)
+        ]
+    )
+    return F.array_min(scored)["c"]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code: array<int>) — each vector compressed to m sub-centroid
+    ids (m bytes at ksub ≤ 256 instead of dim × 4 floats; at dim=64/m=8
+    that's a 32× shrink). A pure narrow map over the scan: codebooks are
+    tiny driver-side literals, so encoding needs NO join, NO shuffle, and
+    the full-precision vector column is pruned right after the projection —
+    at 100 TB the PQ index build is one scan-shaped pass writing m bytes
+    per vector."""
+    dsub = len(codebooks[0][0])
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.array(
+            *[
+                _pq_code_expr(F.col(vec_col), j, dsub, book)
+                for j, book in enumerate(codebooks)
+            ]
+        ).alias("code"),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes: each
+    query precomputes its distance table dtab[j][c] = ||q_sub_j - cb[j][c]||²
+    (m × ksub doubles, built BELOW the broadcast exchange so it is
+    materialized once per query, never re-expanded per candidate — the
+    projection-collapse trap of CLAUDE.md); each corpus CODE row then costs
+    only m table lookups + a left-fold sum. The full-precision corpus
+    vectors are never read: the scan is the m-byte code column, which is
+    the whole point of PQ at 100 TB — approximate distances over a
+    32×-smaller index, exactness recoverable by re-ranking the top
+    candidates against true vectors (tests measure recall).
+
+    Pass ``codes`` (from pq_encode, possibly persisted) to reuse an index
+    across query batches.
+    """
+    dsub = len(codebooks[0][0])
+    cd = codes if codes is not None else pq_encode(corpus, codebooks, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.array(
+            *[
+                F.array(
+                    *[
+                        _sub_sq_l2(
+                            F.slice(F.col(vec_col), j * dsub + 1, dsub), c
+                        )
+                        for c in book
+                    ]
+                )
+                for j, book in enumerate(codebooks)
+            ]
+        ).alias("dtab"),
+    )
+    adist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("dtab"),
+                F.col("code"),
+                lambda t, c: F.element_at(t, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return (
+        cd.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adist.alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -443,3 +445,96 @@ def test_ann_multiprobe_improves_recall(spark):
     assert r_probe >= r_base
     # at only 2 tables the probes must add real recall on random vectors
     assert r_probe > r_base + 0.05, (r_base, r_probe)
+
+
+def test_pq_encode_zero_shuffle_and_code_range(spark):
+    """PQ encoding must be a pure narrow map (codebooks are literals — no
+    join, no Exchange in the plan) emitting m codes in [0, ksub)."""
+    from kettle_jena_plugins_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    em = embeds(spark)
+    books = pq_codebooks(em, m=8, ksub=8, n_iters=0, seed_hash="md5")
+    assert len(books) == 8 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # dsub = 64/8
+    codes = pq_encode(em, books)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows = codes.collect()
+    assert all(len(r["code"]) == 8 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r["code"])
+
+
+def test_pq_codebooks_deterministic_and_refinable(spark):
+    from kettle_jena_plugins_spark.operators.similarity import pq_codebooks
+
+    em = embeds(spark).cache()
+    a = pq_codebooks(em, m=4, ksub=4, n_iters=0, seed_hash="md5")
+    b = pq_codebooks(em, m=4, ksub=4, n_iters=0, seed_hash="md5")
+    assert a == b  # parallelism-independent seeding
+    refined = pq_codebooks(em, m=4, ksub=4, n_iters=1, seed_hash="md5")
+    em.unpersist()
+    assert refined != a  # Lloyd iteration actually moved the centroids
+    assert len(refined) == 4 and all(len(bk) == 4 for bk in refined)
+
+
+def test_pq_adc_lossless_when_corpus_is_codebook(spark):
+    """When every corpus vector IS a seed vector (corpus size == ksub),
+    encoding is lossless and the ADC distance equals the exact squared-L2
+    distance — the strongest end-to-end check of codebook construction,
+    encoding, distance tables, and the fold order."""
+    from kettle_jena_plugins_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    em = embeds(spark).limit(8).cache()
+    books = pq_codebooks(em, m=8, ksub=8, n_iters=0, seed_hash="md5")
+    codes = {r["vec_id"]: list(r["code"]) for r in pq_encode(em, books).collect()}
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in em.collect()}
+    # every vector decodes back to itself
+    for vid, code in codes.items():
+        decoded = [x for j, c in enumerate(code) for x in books[j][c]]
+        assert decoded == pytest.approx(vecs[vid], abs=1e-12)
+    got = pq_adc_topk(em, em, books, k=7).collect()
+    em.unpersist()
+    for r in got:
+        q, n = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        exact = sum((a - b) ** 2 for a, b in zip(q, n))
+        assert r["adist"] == pytest.approx(exact, abs=1e-3)
+
+
+def test_pq_adc_recall_on_clustered_vectors(spark):
+    """On clustered data (the realistic embedding shape), the ADC shortlist
+    must recover the true same-cluster L2 neighbors. Pure-random vectors are
+    PQ's worst case (distances concentrate, 24-bit codes cannot separate
+    them) — cluster structure is what PQ exploits."""
+    import random as pyrandom
+
+    from kettle_jena_plugins_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    rng = pyrandom.Random(7)
+    dim, n_clusters, per = 64, 8, 15
+    centers = [
+        [rng.gauss(0, 1.0) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n_clusters * per):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.08) for x in c]))
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    q = em.filter(F.col("vec_id") < 8)  # one query per cluster
+    books = pq_codebooks(em, m=8, ksub=8, n_iters=1)
+    got = pq_adc_topk(em, q, books, k=10).collect()
+    em.unpersist()
+    hits = sum(
+        1 for r in got if r["neighbor_id"] % n_clusters == r["query_id"] % n_clusters
+    )
+    # 10 shortlisted per query x 8 queries; >=80% must be true cluster-mates
+    assert hits / len(got) >= 0.8, hits / len(got)
