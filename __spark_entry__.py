@@ -860,6 +860,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k — the compressed-index member of the
+    ANN family (brute/LSH/IVF/PQ). Codebooks are md5-seeded (n_iters=0), so
+    the DuckDB oracle rebuilds codebooks, per-vector codes, query distance
+    tables, and ADC ranking exactly (left-fold sums on both engines keep
+    double arithmetic bit-identical). The Lloyd-refined path and the
+    re-rank recall story are covered in tests/test_training_ops.py."""
+    from kettle_jena_plugins_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    em = _embeds(spark, sf_dir)
+    books = pq_codebooks(em, m=8, ksub=8, n_iters=0, seed_hash="md5")
+    queries_df = em.filter(F.col("vec_id") % 25 == 0)
+    return pq_adc_topk(em, queries_df, books, k=5)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data curation: language gate + quality floor +
     exact-dup removal (keep the lowest doc_id per normalized-text group) —
@@ -875,6 +893,41 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof.join(survivors, "doc_id")
         .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
         .select("doc_id", "n_tokens", "quality", "lang_pred")
+    )
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords: one term-count agg, one
+    vocabulary-sized df agg, a term join back and a per-doc window —
+    corpus size rides a broadcast single-row agg, never the driver."""
+    from kettle_jena_plugins_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling toward a target (en 30% / fr 30% / zh 40%)
+    mix at a 200-doc budget: per-stratum keep-rates derived from the
+    corpus's own counts (zh overflows its share → rate caps at 1.0,
+    de/es get weight 0 → dropped), applied as the zero-shuffle md5
+    threshold filter. Counts broadcast back; rates never touch the driver."""
+    from kettle_jena_plugins_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        weights={"en": 0.3, "fr": 0.3, "zh": 0.4},
+        budget=200,
+    )
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: seeded md5 permutation into
+    (shard, pos) — reproducible data order with ONE shard-keyed shuffle,
+    no global sort."""
+    from kettle_jena_plugins_spark.operators.sampling import training_order
+
+    return training_order(
+        _docs(spark, sf_dir).select("doc_id", "lang"), n_shards=8
     )
 
 
@@ -1173,7 +1226,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_near_dup_lsh": q_embed_near_dup_lsh,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
+    "embed_pq_topk": q_embed_pq_topk,
     "text_profile": q_text_profile,
+    "text_tfidf": q_text_tfidf,
+    "mixture_sample": q_mixture_sample,
+    "training_order": q_training_order,
     "curation_pipeline": q_curation_pipeline,
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -1594,6 +1651,58 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5
 """,
+    # embed_pq_topk: rebuild the md5-seeded PQ codebooks, encode every
+    # corpus vector (argmin squared-L2 per subspace, ties to smallest
+    # centroid id), build each query's distance table, and rank by the ADC
+    # sum. Every double sum is an ORDERED left fold (list_reduce /
+    # list(... ORDER BY j)) to match Spark's F.aggregate fold order exactly.
+    "embed_pq_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+    SELECT vec_id, v, row_number() OVER (
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM e
+),
+cb AS (
+    SELECT j, rn - 1 AS c, list_slice(v, j * 8 + 1, j * 8 + 8) AS cv
+    FROM seeds CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+    WHERE rn <= 8
+),
+enc AS (
+    SELECT e.vec_id, cb.j, cb.c,
+        list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 9),
+                    i -> (e.v[cb.j * 8 + i] - cb.cv[i]) *
+                         (e.v[cb.j * 8 + i] - cb.cv[i]))),
+            (acc, x) -> acc + x) AS d
+    FROM e CROSS JOIN cb
+),
+code AS (
+    SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, row_number() OVER (
+            PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS r
+        FROM enc) WHERE r = 1
+),
+qd AS (
+    SELECT vec_id AS query_id, j, c, d FROM enc WHERE vec_id % 25 = 0
+),
+ad AS (
+    SELECT qd.query_id, code.vec_id AS neighbor_id,
+        round(list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE), list(qd.d ORDER BY qd.j)),
+            (acc, x) -> acc + x), 4) AS adist
+    FROM code JOIN qd ON qd.j = code.j AND qd.c = code.c
+    WHERE code.vec_id <> qd.query_id
+    GROUP BY qd.query_id, code.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist ASC, neighbor_id
+    ) AS "rank" FROM ad
+)
+SELECT query_id, neighbor_id, adist, "rank" FROM ranked WHERE "rank" <= 5
+""",
     # rolling_fingerprint: fold the UTF-8 bytes (via hex(encode(text)))
     # with HUGEINT arithmetic mod 2^61-1 — same recurrence as the pandas UDF.
     "rolling_fingerprint": """
@@ -1644,6 +1753,64 @@ SELECT dx.doc_id, bx.bench_id, count(*) AS n_overlap,
        CAST(n_doc_ngrams AS BIGINT) AS n_doc_ngrams
 FROM dx JOIN bx USING (ngram)
 GROUP BY dx.doc_id, bx.bench_id, n_doc_ngrams
+""",
+    # mixture_sample: rates derived from the corpus's own per-stratum
+    # counts (least(1, budget·w/n)), uniform = first-8-hex of md5 / 2^32.
+    # Every float literal is CAST to DOUBLE (DuckDB decimals otherwise) and
+    # the arithmetic order mirrors the Spark expressions exactly.
+    "mixture_sample": """
+WITH counts AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+w AS (
+    SELECT lang, n_stratum,
+           CASE lang WHEN 'en' THEN CAST(0.3 AS DOUBLE)
+                     WHEN 'fr' THEN CAST(0.3 AS DOUBLE)
+                     WHEN 'zh' THEN CAST(0.4 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END AS wt
+    FROM counts
+)
+SELECT d.doc_id, d.lang, w.n_stratum,
+       round(least(CAST(1.0 AS DOUBLE), CAST(200.0 AS DOUBLE) * wt / n_stratum), 6) AS rate
+FROM documents d JOIN w ON d.lang = w.lang
+WHERE ('0x' || substr(md5('s0' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / CAST(4294967296.0 AS DOUBLE)
+      < least(CAST(1.0 AS DOUBLE), CAST(200.0 AS DOUBLE) * wt / n_stratum)
+""",
+    # training_order: shard = md5 hex 1-8 mod n, pos = row_number over md5
+    # hex 9-16 within the shard (tie-broken by key) — a pure function of
+    # (seed, key), so both engines emit the identical permutation.
+    "training_order": """
+WITH h AS (
+    SELECT doc_id, lang,
+           md5('s0' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(('0x' || substr(h, 1, 8))::BIGINT % 8 AS INT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY ('0x' || substr(h, 1, 8))::BIGINT % 8
+           ORDER BY substr(h, 9, 8), doc_id) AS INT) AS pos
+FROM h
+""",
+    "text_tfidf": """
+WITH toks AS (
+    SELECT doc_id, t AS term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS t
+        FROM documents)
+    WHERE length(t) >= 3
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+           round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+    FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, "rank" FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS "rank"
+    FROM scored) WHERE "rank" <= 5
 """,
     "stratified_sample": f"""
 SELECT doc_id, lang, source FROM documents

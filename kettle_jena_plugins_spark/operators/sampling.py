@@ -71,6 +71,77 @@ def stratified_sample(
     return df.filter(sample_key(seed, F.col(key_col)) < thr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    budget: int,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Domain-mixture sampling: given target mixture ``weights`` (stratum →
+    share of the training mix) and a document ``budget``, derive each
+    stratum's keep-rate = min(1, budget·weight / n_stratum) from the
+    corpus's OWN counts and apply it as a deterministic hash filter. This is
+    the two-step a real mixing job runs: measure what you have, then sample
+    each domain toward the mix you want (domains too small to fill their
+    share keep everything — rate caps at 1).
+
+    Scale shape: one tiny counts agg (O(#strata) rows) broadcast-joined
+    back, then the same zero-shuffle md5-threshold filter as
+    ``stratified_sample`` — rates never touch the driver, counts never
+    re-shuffle the corpus. Adds ``n_stratum``/``rate`` columns so the sample
+    is self-describing.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_stratum"))
+    w_col: Column = F.lit(0.0)
+    for value, wt in sorted(weights.items()):
+        w_col = F.when(F.col(stratum_col) == value, F.lit(float(wt))).otherwise(
+            w_col
+        )
+    rate = F.least(
+        F.lit(1.0), F.lit(float(budget)) * w_col / F.col("n_stratum")
+    )
+    u = F.conv(sample_key(seed, F.col(key_col)), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+    return (
+        df.join(F.broadcast(counts), stratum_col)
+        .withColumn("rate", F.round(rate, 6))
+        .filter(u < rate)
+    )
+
+
+def training_order(
+    df: DataFrame,
+    n_shards: int = 8,
+    seed: str = "s0",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training order: every row gets a (shard, pos)
+    coordinate from a seeded md5 permutation — the shuffled data order a
+    training run consumes, reproducible across reruns/retries/partitionings
+    because it is a pure function of (seed, key). Changing the seed reshuffles;
+    changing nothing re-yields byte-identical order (epoch = seed suffix).
+
+    Scale shape: shard assignment is a narrow hash map; within-shard
+    positions need ONE shuffle on shard + an in-partition sort — no global
+    sort, no single-reducer total order. Shards are hash-balanced, so at
+    100 TB each sort is 1/n_shards of the corpus; downstream readers consume
+    shard files independently in (shard, pos) order."""
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        F.substring(h, 9, 8), F.col(key_col)
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     quotas: Mapping[str, int],

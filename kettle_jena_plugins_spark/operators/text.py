@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 # tiny marker-word inventories per language (heuristic n-gram/stopword ID)
 LANG_MARKERS: dict[str, str] = {
@@ -93,6 +94,57 @@ def corpus_ngram_counts(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("gram"))
         .limit(top)
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    min_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (tf × ln(N/df), ties broken by
+    term ascending) — the corpus-statistics profile a curation pass uses for
+    topic/keyword coverage. Tokens are lowercased [a-z0-9]+ runs of length
+    ≥ min_len, so the tokenizer is portable to the DuckDB oracle verbatim.
+
+    Scale shape: ONE term-count hash agg over the exploded token stream
+    (map-side combine absorbs within-doc repeats), ONE document-frequency
+    agg over its output (vocabulary-sized, not corpus-sized), a shuffle
+    join back on term (AQE-sized; the df side is vocabulary-scale, which at
+    100 TB is still ≪ corpus and skew-safe — hot terms are exactly the ones
+    map-side combine already collapsed), and a per-doc window top-k over
+    tf-rows only. The corpus-size scalar rides a broadcast single-row agg,
+    never a driver collect."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -328,3 +328,99 @@ def test_repetition_ratio_is_narrow(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------- mixture / order / tfidf
+
+
+def test_mixture_sample_rate_cap_and_zero_weight(spark):
+    """A stratum too small to fill its share keeps EVERYTHING (rate caps at
+    1.0); zero-weight strata are dropped entirely; rates derive from the
+    corpus's own counts."""
+    from kettle_jena_plugins_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big" if i < 400 else "tiny") for i in range(420)]
+    df = _docs(spark, rows, "doc_id long, lang string")
+    out = mixture_sample(
+        df, weights={"big": 0.5, "tiny": 0.5}, budget=100, stratum_col="lang"
+    )
+    got = out.collect()
+    tiny = [r for r in got if r["lang"] == "tiny"]
+    big = [r for r in got if r["lang"] == "big"]
+    assert len(tiny) == 20  # 100*0.5/20 = 2.5 -> capped at 1.0, all kept
+    assert all(r["rate"] == 1.0 for r in tiny)
+    # big stratum sampled at 100*0.5/400 = 0.125: binomial around 50
+    assert 20 < len(big) < 90
+    assert all(r["rate"] == 0.125 for r in big)
+    # zero-weight stratum vanishes
+    none = mixture_sample(df, weights={"big": 1.0}, budget=50).filter(
+        F.col("lang") == "tiny"
+    )
+    assert none.count() == 0
+
+
+def test_mixture_sample_deterministic(spark):
+    from kettle_jena_plugins_spark.operators.sampling import mixture_sample
+
+    df = _docs(
+        spark, [(i, "a" if i % 2 else "b") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    a = {r["doc_id"] for r in mixture_sample(df, {"a": 0.5, "b": 0.5}, 80).collect()}
+    b = {r["doc_id"] for r in
+         mixture_sample(df.repartition(7), {"a": 0.5, "b": 0.5}, 80).collect()}
+    assert a == b  # pure function of (seed, key): partition-invariant
+
+
+def test_training_order_is_a_permutation(spark):
+    """Every row appears exactly once; positions are contiguous 1..n within
+    each shard; the permutation is a pure function of (seed, key)."""
+    from kettle_jena_plugins_spark.operators.sampling import training_order
+
+    df = _docs(spark, [(i, f"t{i}") for i in range(300)])
+    out = training_order(df, n_shards=4, seed="e1").collect()
+    assert len(out) == 300
+    assert {r["doc_id"] for r in out} == set(range(300))
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic under repartitioning
+    again = training_order(df.repartition(11), n_shards=4, seed="e1").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
+    # a different seed (epoch) produces a different order
+    other = training_order(df, n_shards=4, seed="e2").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in other} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
+
+
+def test_tfidf_semantics(spark):
+    """A term present in every doc scores 0; a unique term outranks common
+    ones; ties break by term ascending; short tokens are dropped."""
+    from kettle_jena_plugins_spark.operators.text import tfidf_topk
+
+    df = _docs(
+        spark,
+        [
+            (1, "common words appear here zebra"),
+            (2, "common words appear here"),
+            (3, "common words appear here"),
+            (4, "common az"),  # 'az' shorter than min_len -> dropped
+        ],
+    )
+    out = tfidf_topk(df, k=5)
+    rows = {(r["doc_id"], r["term"]): r for r in out.collect()}
+    # 'common' is in all 4 docs -> ln(4/4) = 0
+    assert rows[(1, "common")]["tfidf"] == 0.0
+    # doc 1's top term is its unique 'zebra'
+    top1 = [r for r in out.filter(F.col("doc_id") == 1).collect() if r["rank"] == 1]
+    assert top1[0]["term"] == "zebra"
+    # 'az' never tokenized
+    assert not [k for k in rows if k[1] == "az"]
+    # doc 4 keeps only 'common'
+    assert [k[1] for k in rows if k[0] == 4] == ["common"]
