@@ -931,6 +931,48 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus thinning: each document's text_profile
+    quality score IS its keep-rate (continuous importance sampling) — a
+    zero-shuffle narrow filter fused with the profile projection."""
+    from kettle_jena_plugins_spark.operators.sampling import importance_sample
+    from kettle_jena_plugins_spark.operators.text import text_profile
+
+    return importance_sample(
+        text_profile(_docs(spark, sf_dir)), rate_col="quality"
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus shape report (counts, token totals, exact
+    length percentiles) — what a mixing/packing plan reads before setting
+    budgets. Exact percentile here (oracle-comparable); the approx t-digest
+    variant is the same plan minus the per-group sort."""
+    from kettle_jena_plugins_spark.operators.text import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus —
+    narrow map, no shuffle, no UDF."""
+    from kettle_jena_plugins_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_embeds(spark, sf_dir))
+
+
+def q_transcript_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC→curation bridge: LWW state → assembled conversations →
+    conversation-level exact dedup (normalized doc hash, keep smallest
+    conv_id). Two hash aggs, both map-side-partialed."""
+    from kettle_jena_plugins_spark.operators.transcripts import (
+        dedup_transcripts,
+    )
+
+    st = lww_state(change_events(spark, sf_dir))
+    return dedup_transcripts(st)
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kettle_jena_plugins_spark.operators.text import text_profile
 
@@ -1229,6 +1271,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_pq_topk": q_embed_pq_topk,
     "text_profile": q_text_profile,
     "text_tfidf": q_text_tfidf,
+    "corpus_stats": q_corpus_stats,
+    "importance_sample": q_importance_sample,
+    "embed_quantize": q_embed_quantize,
+    "transcript_dedup": q_transcript_dedup,
     "mixture_sample": q_mixture_sample,
     "training_order": q_training_order,
     "curation_pipeline": q_curation_pipeline,
@@ -1398,6 +1444,39 @@ _NTOK = (
     "CASE WHEN length(trim(text)) = 0 THEN 0 "
     "ELSE len(string_split_regex(trim(text), '\\s+')) END"
 )
+
+_TEXT_PROFILE_SQL = f"""
+WITH base AS (
+    SELECT doc_id, text,
+           {_NTOK} AS n_tokens,
+           {_LANG_SCORES}
+    FROM documents
+),
+derived AS (
+    SELECT doc_id, n_tokens,
+           len(regexp_extract_all(lower(text),
+               '[a-z0-9]{{1,4}}|[^a-z0-9\\s]')) AS n_subwords,
+           round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(s_en / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           s_en, s_de, s_fr, s_es,
+           greatest(s_en, s_de, s_fr, s_es) AS best
+    FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_subwords AS INTEGER) AS n_subwords,
+       punct_ratio, stopword_ratio,
+       round((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000 THEN 0.4 ELSE 0.0 END)
+             + least(stopword_ratio * 2.0, 0.4)
+             + (0.2 - least(punct_ratio * 2.0, 0.2)), 6) AS quality,
+       CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+            WHEN s_de > 0 AND s_de = best THEN 'de'
+            WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+            WHEN s_es > 0 AND s_es = best THEN 'es'
+            ELSE 'und' END AS lang_pred
+FROM derived
+"""
 
 ORACLES: dict[str, str] = {
     "dedup_exact": f"""
@@ -2140,37 +2219,38 @@ SELECT doc_id,
        END AS bounds_md5
 FROM bounds
 """,
-    "text_profile": f"""
-WITH base AS (
-    SELECT doc_id, text,
-           {_NTOK} AS n_tokens,
-           {_LANG_SCORES}
-    FROM documents
-),
-derived AS (
-    SELECT doc_id, n_tokens,
-           len(regexp_extract_all(lower(text),
-               '[a-z0-9]{{1,4}}|[^a-z0-9\\s]')) AS n_subwords,
-           round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
-                 / greatest(length(text), 1), 6) AS punct_ratio,
-           round(s_en / greatest(n_tokens, 1), 6) AS stopword_ratio,
-           s_en, s_de, s_fr, s_es,
-           greatest(s_en, s_de, s_fr, s_es) AS best
-    FROM base
+    "text_profile": _TEXT_PROFILE_SQL,
+    # importance_sample: the text_profile quality score IS the keep-rate;
+    # uniform = first-8-hex md5 / 2^32 (same u as mixture_sample).
+    "importance_sample": f"""
+WITH prof AS ({_TEXT_PROFILE_SQL})
+SELECT * FROM prof
+WHERE ('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / CAST(4294967296.0 AS DOUBLE)
+      < quality
+""",
+    "corpus_stats": f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum({_NTOK}) AS BIGINT) AS total_tokens,
+       round(avg(length(text)), 4) AS mean_chars,
+       round(quantile_cont(length(text), 0.5), 4) AS p50_chars,
+       round(quantile_cont(length(text), 0.95), 4) AS p95_chars
+FROM documents GROUP BY lang
+""",
+    "embed_quantize": """
+WITH s AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               / CAST(127.0 AS DOUBLE) AS scale
+    FROM embeddings
 )
-SELECT doc_id,
-       CAST(n_tokens AS INTEGER) AS n_tokens,
-       CAST(n_subwords AS INTEGER) AS n_subwords,
-       punct_ratio, stopword_ratio,
-       round((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000 THEN 0.4 ELSE 0.0 END)
-             + least(stopword_ratio * 2.0, 0.4)
-             + (0.2 - least(punct_ratio * 2.0, 0.2)), 6) AS quality,
-       CASE WHEN s_en > 0 AND s_en = best THEN 'en'
-            WHEN s_de > 0 AND s_de = best THEN 'de'
-            WHEN s_fr > 0 AND s_fr = best THEN 'fr'
-            WHEN s_es > 0 AND s_es = best THEN 'es'
-            ELSE 'und' END AS lang_pred
-FROM derived
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       list_transform(v, x -> CAST(round(
+           x / (CASE WHEN scale = 0 THEN CAST(1.0 AS DOUBLE) ELSE scale END)
+       ) AS INT)) AS codes
+FROM s
 """,
     "curation_pipeline": f"""
 WITH {_DOCS_DUPS_CTE},
@@ -2526,6 +2606,22 @@ SELECT conv_id,
        CAST(sum({_NTOK}) AS BIGINT) AS n_tokens,
        max(lsn) AS last_lsn
 FROM state GROUP BY conv_id
+""",
+    "transcript_dedup": _LWW_RANKED
+    + """
+, state AS (
+    SELECT conv_id, turn_idx, role, text, lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+),
+docs AS (
+    SELECT conv_id,
+           string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+    FROM state GROUP BY conv_id
+)
+SELECT md5(trim(regexp_replace(doc, '\\s+', ' ', 'g'))) AS text_hash,
+       MIN(conv_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM docs GROUP BY 1
 """,
     "cdc_lww_state_window": _LWW_RANKED
     + """

@@ -142,6 +142,25 @@ def training_order(
     )
 
 
+def importance_sample(
+    df: DataFrame,
+    rate_col: str,
+    key_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Continuous importance sampling: every row carries its OWN keep-rate
+    in ``rate_col`` (a quality score, a domain prior, an upsampling factor
+    clamped to [0,1]) and survives iff the seeded md5 uniform falls under
+    it — quality-weighted corpus thinning as a pure narrow filter. Like
+    the stratified/mixture samplers the decision is a function of
+    (seed, key) only: retries, resharding and reruns keep identical rows.
+    Zero shuffle; the rate expression fuses into the scan's codegen."""
+    u = F.conv(sample_key(seed, F.col(key_col)), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+    return df.filter(u < F.col(rate_col))
+
+
 def stratified_sample_exact(
     df: DataFrame,
     quotas: Mapping[str, int],

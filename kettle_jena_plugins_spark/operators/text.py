@@ -148,6 +148,39 @@ def tfidf_topk(
     )
 
 
+def corpus_stats(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-stratum corpus profile: doc count, token total, mean/median/p95
+    character length — the shape report a mixing/packing plan reads before
+    setting budgets (mixture_sample weights, pack_sequences seq_len).
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile`` (one
+    grouped sort-agg; right for profile reports over a bounded stratum
+    count, and value-identical to DuckDB's quantile_cont so the oracle can
+    check it). At 100 TB with huge strata, flip ``exact=False`` for
+    t-digest ``approx_percentile`` — same plan shape, one hash agg, no
+    per-group sort, ±0.1% accuracy (not oracle-comparable, covered by the
+    bounds test instead)."""
+    ln = F.length(F.col(text_col))
+    if exact:
+        p50 = F.expr(f"percentile(length({text_col}), 0.5D)")
+        p95 = F.expr(f"percentile(length({text_col}), 0.95D)")
+    else:
+        p50 = F.expr(f"approx_percentile(length({text_col}), 0.5D, 10000)")
+        p95 = F.expr(f"approx_percentile(length({text_col}), 0.95D, 10000)")
+    return df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("total_tokens"),
+        F.round(F.avg(ln), 4).alias("mean_chars"),
+        F.round(p50.cast("double"), 4).alias("p50_chars"),
+        F.round(p95.cast("double"), 4).alias("p95_chars"),
+    )
+
+
 def quality_score(col: Column) -> Column:
     """Composite curation score in [0,1]: length band + stopword presence −
     punctuation excess. Deterministic, explainable, oracle-checkable."""

@@ -54,6 +54,23 @@ def assemble_transcripts(
     )
 
 
+def dedup_transcripts(
+    state: DataFrame,
+    conv_col: str = "conv_id",
+    **assemble_kw,
+) -> DataFrame:
+    """Conversation-level exact dedup: assemble each conversation into its
+    turn-ordered document, then normalized-hash groupBy — the CDC→curation
+    bridge a transcript corpus runs per snapshot (identical conversations
+    under different ids collapse to one training document). Keeps the
+    lexicographically-smallest conv_id per group. Two hash aggs (assembly,
+    dedup), both with map-side partials; nothing leaves the executors."""
+    from .dedup import exact_dedup
+
+    docs = assemble_transcripts(state, conv_col=conv_col, **assemble_kw)
+    return exact_dedup(docs, text_col="doc", id_col=conv_col)
+
+
 def lint_transcripts(
     state: DataFrame,
     conv_col: str = "conv_id",

@@ -332,3 +332,24 @@ def test_assembly_single_shuffle_no_sort_exchange(spark):
     )
     assert plan.count("Exchange") == 1
     assert "Window" not in plan  # order restored inside the agg, not a window
+
+
+def test_dedup_transcripts_collapses_identical_conversations(spark):
+    """Two conversations with identical turn content (different conv_ids)
+    collapse to one group keeping the smaller id; distinct ones survive."""
+    from kettle_jena_plugins_spark.operators.transcripts import (
+        dedup_transcripts,
+    )
+
+    rows = []
+    for cid in ("a1", "a2"):  # identical twins
+        rows += [
+            (cid, 0, "user", "hello world", 1),
+            (cid, 1, "assistant", "hi there", 2),
+        ]
+    rows += [("b9", 0, "user", "different text", 3)]
+    st = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, lsn long"
+    )
+    out = {r["keep_id"]: r["n_dups"] for r in dedup_transcripts(st).collect()}
+    assert out == {"a1": 2, "b9": 1}

@@ -424,3 +424,49 @@ def test_tfidf_semantics(spark):
     assert not [k for k in rows if k[1] == "az"]
     # doc 4 keeps only 'common'
     assert [k[1] for k in rows if k[0] == 4] == ["common"]
+
+
+def test_importance_sample_rate_extremes_and_determinism(spark):
+    from kettle_jena_plugins_spark.operators.sampling import importance_sample
+
+    df = _docs(
+        spark, [(i, 0.0 if i % 2 else 1.0) for i in range(100)],
+        "doc_id long, rate double",
+    )
+    kept = importance_sample(df, "rate").collect()
+    # rate 1.0 keeps everything (u < 1 always), rate 0.0 drops everything
+    assert {r["doc_id"] for r in kept} == {i for i in range(100) if i % 2 == 0}
+    again = {r["doc_id"] for r in
+             importance_sample(df.repartition(9), "rate").collect()}
+    assert again == {r["doc_id"] for r in kept}
+
+
+def test_importance_sample_tracks_rate(spark):
+    """At a mid rate the kept fraction lands near the rate (binomial)."""
+    from kettle_jena_plugins_spark.operators.sampling import importance_sample
+
+    df = _docs(
+        spark, [(i, 0.3) for i in range(2000)], "doc_id long, rate double"
+    )
+    n = importance_sample(df, "rate").count()
+    assert 450 < n < 750, n
+
+
+def test_corpus_stats_exact_matches_python(spark):
+    from kettle_jena_plugins_spark.operators.text import corpus_stats
+
+    texts = [("a", "x" * n) for n in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)]
+    df = _docs(
+        spark,
+        [(i, lang, t) for i, (lang, t) in enumerate(texts)],
+        "doc_id long, lang string, text string",
+    )
+    row = corpus_stats(df).collect()[0]
+    assert row["n_docs"] == 10
+    assert row["mean_chars"] == 5.5
+    assert row["p50_chars"] == 5.5  # linear interpolation between 5 and 6
+    assert row["p95_chars"] == 9.55  # R-7: 1 + 0.95*9 = 9.55 -> between 9,10
+    # approx variant stays within the digest tolerance of exact
+    arow = corpus_stats(df, exact=False).collect()[0]
+    assert abs(arow["p50_chars"] - 5.5) <= 1.0
+    assert abs(arow["p95_chars"] - 9.55) <= 1.0

@@ -538,3 +538,27 @@ def test_pq_adc_recall_on_clustered_vectors(spark):
     )
     # 10 shortlisted per query x 8 queries; >=80% must be true cluster-mates
     assert hits / len(got) >= 0.8, hits / len(got)
+
+
+def test_quantize_int8_roundtrip_and_plan(spark):
+    """Codes bounded to [-127,127]; dequantized error <= scale/2 per
+    component; zero vectors round-trip exactly; no Exchange in the plan."""
+    from kettle_jena_plugins_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (1, [0.5, -1.27, 0.001, 1.27]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-2.54, 2.54, 1.27, -0.01]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = quantize_int8(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert got[2]["scale"] == 0.0 and list(got[2]["codes"]) == [0, 0, 0, 0]
+    for vid, vec in [(1, rows[0][1]), (3, rows[2][1])]:
+        scale = max(abs(x) for x in vec) / 127.0
+        codes = got[vid]["codes"]
+        assert all(-127 <= c <= 127 for c in codes)
+        for x, c in zip(vec, codes):
+            assert abs(c * scale - x) <= scale / 2 + 1e-12
