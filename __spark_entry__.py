@@ -943,6 +943,28 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids: top-200 corpus vocabulary (id 0 = OOV) applied to
+    every document — order reassembled inside the hash agg, vocab
+    broadcast."""
+    from kettle_jena_plugins_spark.operators.text import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return encode_tokens(docs, build_vocab(docs, size=200))
+
+
+def q_text_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: per-doc mean negative
+    log-likelihood under the corpus's own unigram distribution, folded in
+    term order for cross-engine double parity."""
+    from kettle_jena_plugins_spark.operators.text import unigram_nll
+
+    return unigram_nll(_docs(spark, sf_dir))
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus shape report (counts, token totals, exact
     length percentiles) — what a mixing/packing plan reads before setting
@@ -1272,6 +1294,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,
     "text_tfidf": q_text_tfidf,
     "corpus_stats": q_corpus_stats,
+    "text_nll": q_text_nll,
+    "vocab_encode": q_vocab_encode,
     "importance_sample": q_importance_sample,
     "embed_quantize": q_embed_quantize,
     "transcript_dedup": q_transcript_dedup,
@@ -2228,6 +2252,61 @@ SELECT * FROM prof
 WHERE ('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
           / CAST(4294967296.0 AS DOUBLE)
       < quality
+""",
+    # vocab_encode: vocabulary as a scalar MAP (size-bounded), documents
+    # encoded by index-carrying list_transform — same ids/order as Spark's
+    # posexplode → broadcast-join → in-agg reassembly.
+    "vocab_encode": """
+WITH counts AS (
+    SELECT t AS term, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS t
+        FROM documents)
+    WHERE length(t) >= 1
+    GROUP BY t
+),
+vocab AS (
+    SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS id
+    FROM counts ORDER BY cnt DESC, term LIMIT 200
+),
+vm AS (SELECT map(list(term), list(id)) AS m FROM vocab),
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                       t -> length(t) >= 1) AS ts
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       list_transform(ts,
+           t -> CAST(coalesce(map_extract(m, t)[1], 0) AS INT)) AS ids
+FROM toks CROSS JOIN vm
+WHERE len(ts) >= 1
+""",
+    # text_nll: contribs folded in term order (list(... ORDER BY term)) to
+    # match Spark's sort_array+aggregate fold exactly.
+    "text_nll": """
+WITH toks AS (
+    SELECT doc_id, t AS term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS t
+        FROM documents)
+    WHERE length(t) >= 1
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+cf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+tot AS (SELECT sum(ctf) AS total FROM cf),
+contrib AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           tf.tf * ln(CAST(ctf AS DOUBLE) / CAST(total AS DOUBLE)) AS c
+    FROM tf JOIN cf USING (term) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_lm_tokens,
+       round(-list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+                 (acc, x) -> acc + x)
+             / sum(tf), 4) AS nll
+FROM contrib GROUP BY doc_id
 """,
     "corpus_stats": f"""
 SELECT lang,

@@ -148,6 +148,129 @@ def tfidf_topk(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    size: int = 1000,
+    min_len: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: the ``size`` most frequent terms (ties → term
+    ascending), assigned dense ids 1..size — id 0 is reserved for OOV.
+    One corpus-frequency hash agg (map-side combine), a TakeOrdered top-k,
+    and an id window over the SIZE-bounded survivors only (never the
+    corpus), so the single-partition ranking window is O(size)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(size)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return counts.withColumn("id", F.row_number().over(w))
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 1,
+) -> DataFrame:
+    """Encode each document as its token-id array under ``vocab`` (from
+    build_vocab; unknown terms → 0) — the tokenize-to-ids step between
+    curation and sequence packing. Output: (doc_id, n_tokens, ids) with
+    ids in original token order; zero-token docs are absent.
+
+    Scale shape: posexplode → broadcast join against the size-bounded
+    vocab → ONE per-doc hash agg that reassembles order inside the
+    aggregation (sort_array over (pos, id) structs — no window sort).
+    The corpus crosses the shuffle once, as (doc, pos, id) triples."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "term"),
+    )
+    joined = exploded.join(
+        F.broadcast(vocab.select("term", "id")), "term", "left"
+    ).select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("tid")
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("pos"), F.col("tid")))
+        ).alias("__pt"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.transform(F.col("__pt"), lambda t: t["tid"]).alias("ids"),
+    )
+
+
+def unigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 1,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's OWN
+    unigram distribution — the perplexity-proxy quality signal (CCNet-style:
+    docs whose tokens are improbable under the corpus LM are outliers;
+    docs full of ultra-common boilerplate score near the corpus floor).
+    Output: (doc_id, n_lm_tokens, nll); docs with zero tokens are absent
+    (no LM evidence). nll = −Σ tf·ln(ctf/total) / Σ tf, folded in term
+    order so the DuckDB oracle reproduces the double sum bit-for-bit.
+
+    Scale shape: token-frequency agg (map-side combine), vocabulary-sized
+    corpus-frequency agg over its output, term join back, then ONE per-doc
+    hash agg; the corpus total rides a broadcast single-row agg. Identical
+    topology to tfidf_topk — at 100 TB the corpus never shuffles twice."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cfreq = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = cfreq.agg(F.sum("ctf").alias("total"))
+    contrib = F.col("tf") * F.log(
+        F.col("ctf").cast("double") / F.col("total").cast("double")
+    )
+    agg = (
+        tf.join(cfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("term"), contrib.alias("c")))
+            ).alias("__tc"),
+            F.sum("tf").alias("n_lm_tokens"),
+        )
+    )
+    fold = F.aggregate(
+        F.transform(F.col("__tc"), lambda t: t["c"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return agg.select(
+        "doc_id",
+        "n_lm_tokens",
+        F.round(-fold / F.col("n_lm_tokens"), 4).alias("nll"),
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     stratum_col: str = "lang",

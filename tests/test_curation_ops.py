@@ -470,3 +470,55 @@ def test_corpus_stats_exact_matches_python(spark):
     arow = corpus_stats(df, exact=False).collect()[0]
     assert abs(arow["p50_chars"] - 5.5) <= 1.0
     assert abs(arow["p95_chars"] - 9.55) <= 1.0
+
+
+def test_unigram_nll_orders_common_vs_rare(spark):
+    """A doc of corpus-common tokens scores lower nll than a doc of rare
+    ones; values match the hand-computed unigram cross-entropy."""
+    import math
+
+    from kettle_jena_plugins_spark.operators.text import unigram_nll
+
+    df = _docs(
+        spark,
+        [
+            (1, "common common common"),
+            (2, "common common common"),
+            (3, "rare"),
+            (4, "   "),  # zero tokens -> absent from output
+        ],
+    )
+    out = {r["doc_id"]: r for r in unigram_nll(df).collect()}
+    assert set(out) == {1, 2, 3}
+    total = 7  # 6x common + 1x rare
+    assert out[1]["nll"] == round(-math.log(6 / total), 4)
+    assert out[3]["nll"] == round(-math.log(1 / total), 4)
+    assert out[3]["nll"] > out[1]["nll"]
+    assert out[1]["n_lm_tokens"] == 3 and out[3]["n_lm_tokens"] == 1
+
+
+def test_vocab_encode_ids_and_oov(spark):
+    from kettle_jena_plugins_spark.operators.text import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "aa bb aa cc"),
+            (2, "bb aa"),
+            (3, "zz aa"),  # zz falls outside a size-2 vocab -> OOV 0
+            (4, ""),       # zero tokens -> absent
+        ],
+    )
+    vocab = build_vocab(df, size=2)
+    v = {r["term"]: r["id"] for r in vocab.collect()}
+    # aa (4 hits) -> id 1, bb (2 hits) -> id 2; cc/zz excluded
+    assert v == {"aa": 1, "bb": 2}
+    enc = {r["doc_id"]: r for r in encode_tokens(df, vocab).collect()}
+    assert set(enc) == {1, 2, 3}
+    assert list(enc[1]["ids"]) == [1, 2, 1, 0]  # order preserved, cc -> OOV
+    assert list(enc[2]["ids"]) == [2, 1]
+    assert list(enc[3]["ids"]) == [0, 1]
+    assert enc[1]["n_tokens"] == 4
