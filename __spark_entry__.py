@@ -878,6 +878,21 @@ def q_embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(em, queries_df, books, k=5)
 
 
+def q_embed_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-index search end to end: ADC shortlist (20 per query,
+    m-byte codes only) → exact squared-L2 re-rank over true vectors read
+    for shortlist·queries rows only."""
+    from kettle_jena_plugins_spark.operators.similarity import (
+        pq_codebooks,
+        pq_rerank_topk,
+    )
+
+    em = _embeds(spark, sf_dir)
+    books = pq_codebooks(em, m=8, ksub=8, n_iters=0, seed_hash="md5")
+    queries_df = em.filter(F.col("vec_id") % 25 == 0)
+    return pq_rerank_topk(em, queries_df, books, k=5, shortlist=20)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data curation: language gate + quality floor +
     exact-dup removal (keep the lowest doc_id per normalized-text group) —
@@ -1291,6 +1306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "embed_pq_topk": q_embed_pq_topk,
+    "embed_pq_rerank": q_embed_pq_rerank,
     "text_profile": q_text_profile,
     "text_tfidf": q_text_tfidf,
     "corpus_stats": q_corpus_stats,
@@ -1468,6 +1484,61 @@ _NTOK = (
     "CASE WHEN length(trim(text)) = 0 THEN 0 "
     "ELSE len(string_split_regex(trim(text), '\\s+')) END"
 )
+
+def _pq_adc_sql(k: int) -> str:
+    """md5-seeded PQ codebooks + codes + per-query distance tables +
+    ADC ranking, rebuilt in DuckDB with ordered left-fold double parity;
+    parametrized on the shortlist size so the re-rank oracle reuses it."""
+    return _PQ_ADC_TMPL.format(k=k)
+
+
+_PQ_ADC_TMPL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+    SELECT vec_id, v, row_number() OVER (
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM e
+),
+cb AS (
+    SELECT j, rn - 1 AS c, list_slice(v, j * 8 + 1, j * 8 + 8) AS cv
+    FROM seeds CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+    WHERE rn <= 8
+),
+enc AS (
+    SELECT e.vec_id, cb.j, cb.c,
+        list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 9),
+                    i -> (e.v[cb.j * 8 + i] - cb.cv[i]) *
+                         (e.v[cb.j * 8 + i] - cb.cv[i]))),
+            (acc, x) -> acc + x) AS d
+    FROM e CROSS JOIN cb
+),
+code AS (
+    SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, row_number() OVER (
+            PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS r
+        FROM enc) WHERE r = 1
+),
+qd AS (
+    SELECT vec_id AS query_id, j, c, d FROM enc WHERE vec_id % 25 = 0
+),
+ad AS (
+    SELECT qd.query_id, code.vec_id AS neighbor_id,
+        round(list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE), list(qd.d ORDER BY qd.j)),
+            (acc, x) -> acc + x), 4) AS adist
+    FROM code JOIN qd ON qd.j = code.j AND qd.c = code.c
+    WHERE code.vec_id <> qd.query_id
+    GROUP BY qd.query_id, code.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist ASC, neighbor_id
+    ) AS "rank" FROM ad
+)
+SELECT query_id, neighbor_id, adist, "rank" FROM ranked WHERE "rank" <= {k}
+"""
 
 _TEXT_PROFILE_SQL = f"""
 WITH base AS (
@@ -1759,52 +1830,25 @@ SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5
     # centroid id), build each query's distance table, and rank by the ADC
     # sum. Every double sum is an ORDERED left fold (list_reduce /
     # list(... ORDER BY j)) to match Spark's F.aggregate fold order exactly.
-    "embed_pq_topk": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-seeds AS (
-    SELECT vec_id, v, row_number() OVER (
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-    FROM e
-),
-cb AS (
-    SELECT j, rn - 1 AS c, list_slice(v, j * 8 + 1, j * 8 + 8) AS cv
-    FROM seeds CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
-    WHERE rn <= 8
-),
-enc AS (
-    SELECT e.vec_id, cb.j, cb.c,
-        list_reduce(
-            list_prepend(CAST(0.0 AS DOUBLE),
-                list_transform(range(1, 9),
-                    i -> (e.v[cb.j * 8 + i] - cb.cv[i]) *
-                         (e.v[cb.j * 8 + i] - cb.cv[i]))),
-            (acc, x) -> acc + x) AS d
-    FROM e CROSS JOIN cb
-),
-code AS (
-    SELECT vec_id, j, c FROM (
-        SELECT vec_id, j, c, row_number() OVER (
-            PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS r
-        FROM enc) WHERE r = 1
-),
-qd AS (
-    SELECT vec_id AS query_id, j, c, d FROM enc WHERE vec_id % 25 = 0
-),
-ad AS (
-    SELECT qd.query_id, code.vec_id AS neighbor_id,
-        round(list_reduce(
-            list_prepend(CAST(0.0 AS DOUBLE), list(qd.d ORDER BY qd.j)),
-            (acc, x) -> acc + x), 4) AS adist
-    FROM code JOIN qd ON qd.j = code.j AND qd.c = code.c
-    WHERE code.vec_id <> qd.query_id
-    GROUP BY qd.query_id, code.vec_id
-),
-ranked AS (
-    SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY adist ASC, neighbor_id
-    ) AS "rank" FROM ad
+    "embed_pq_topk": _pq_adc_sql(5),
+    # embed_pq_rerank: the ADC shortlist (k=20) re-ranked by exact
+    # squared L2 over the true vectors (dim-ordered fold).
+    "embed_pq_rerank": f"""
+WITH pq AS ({_pq_adc_sql(20)}),
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+    SELECT pq.query_id, pq.neighbor_id,
+        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(q.v) + 1),
+                i -> (q.v[i] - n.v[i]) * (q.v[i] - n.v[i]))),
+            (acc, x) -> acc + x), 4) AS d2
+    FROM pq JOIN ev q ON q.vec_id = pq.query_id
+            JOIN ev n ON n.vec_id = pq.neighbor_id
 )
-SELECT query_id, neighbor_id, adist, "rank" FROM ranked WHERE "rank" <= 5
+SELECT query_id, neighbor_id, d2, "rank" FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2, neighbor_id) AS "rank"
+    FROM scored) WHERE "rank" <= 5
 """,
     # rolling_fingerprint: fold the UTF-8 bytes (via hex(encode(text)))
     # with HUGEINT arithmetic mod 2^61-1 — same recurrence as the pandas UDF.

@@ -522,3 +522,28 @@ def test_vocab_encode_ids_and_oov(spark):
     assert list(enc[2]["ids"]) == [2, 1]
     assert list(enc[3]["ids"]) == [0, 1]
     assert enc[1]["n_tokens"] == 4
+
+
+def test_new_text_ops_plan_shapes(spark):
+    """TF-IDF / NLL / encode must keep their scale shapes: corpus-count and
+    vocab sides broadcast, no global Sort (order reassembled in-agg), and
+    no cartesian product over the corpus."""
+    from kettle_jena_plugins_spark.operators.text import (
+        build_vocab,
+        encode_tokens,
+        tfidf_topk,
+        unigram_nll,
+    )
+
+    df = _docs(spark, [(i, f"w{i % 7} common text row") for i in range(50)])
+    tfidf_plan = tfidf_topk(df)._jdf.queryExecution().executedPlan().toString()
+    # the single-row corpus count joins via broadcast NLJ, never shuffles
+    assert "BroadcastNestedLoopJoin" in tfidf_plan
+    nll_plan = unigram_nll(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in nll_plan
+    enc = encode_tokens(df, build_vocab(df, size=5))
+    enc_plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in enc_plan  # vocab side broadcast
+    # token order comes from sort_array INSIDE the agg — no Sort operator
+    # over the exploded corpus (window/global sorts would appear as 'Sort')
+    assert "SortMergeJoin" not in enc_plan

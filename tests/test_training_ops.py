@@ -562,3 +562,42 @@ def test_quantize_int8_roundtrip_and_plan(spark):
         assert all(-127 <= c <= 127 for c in codes)
         for x, c in zip(vec, codes):
             assert abs(c * scale - x) <= scale / 2 + 1e-12
+
+
+def test_pq_rerank_recovers_exact_order_within_shortlist(spark):
+    """Re-ranked results must equal the exact-L2 ranking restricted to the
+    ADC shortlist — and on clustered data, match the true global top-k."""
+    import random as pyrandom
+
+    from kettle_jena_plugins_spark.operators.similarity import (
+        pq_codebooks,
+        pq_rerank_topk,
+    )
+
+    rng = pyrandom.Random(11)
+    dim, n_clusters, per = 64, 8, 15
+    centers = [[rng.gauss(0, 1.0) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.05) for x in centers[i % n_clusters]])
+        for i in range(n_clusters * per)
+    ]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    q = em.filter(F.col("vec_id") < 4)
+    books = pq_codebooks(em, m=8, ksub=8, n_iters=1)
+    got = pq_rerank_topk(em, q, books, k=5, shortlist=30).collect()
+    em.unpersist()
+    vecs = dict(rows)
+    for r in got:
+        exact = sum((a - b) ** 2 for a, b in
+                    zip(vecs[r["query_id"]], vecs[r["neighbor_id"]]))
+        assert abs(r["d2"] - exact) < 1e-3  # re-rank distances are exact
+        # with tight clusters every re-ranked hit is a true cluster-mate
+        assert r["neighbor_id"] % n_clusters == r["query_id"] % n_clusters
+    # ranks are 1..5 per query, distances non-decreasing in rank
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        assert all(a["d2"] <= b["d2"] for a, b in zip(rs, rs[1:]))
