@@ -290,6 +290,30 @@ def q_cdc_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lag_metrics(disordered)
 
 
+def q_cdc_wal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed WAL ops profile (per event-time hour: volume, op mix,
+    conversations touched, resume LSN). One date_trunc hash agg."""
+    from kettle_jena_plugins_spark.operators.metrics import wal_profile
+
+    return wal_profile(change_events(spark, sf_dir))
+
+
+def q_cdc_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation write amplification: events vs distinct keys
+    (churn = the LWW reduction factor), plus deletes. One hash agg."""
+    from kettle_jena_plugins_spark.operators.metrics import churn_stats
+
+    return churn_stats(change_events(spark, sf_dir))
+
+
+def q_cdc_update_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-size profile of updates: Levenshtein between consecutive text
+    versions per key in (ts, lsn) order, rolled up per conversation."""
+    from kettle_jena_plugins_spark.operators.metrics import update_delta_stats
+
+    return update_delta_stats(change_events(spark, sf_dir))
+
+
 def q_transcript_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC → training-data bridge: fold the LWW final table state back into
     one document per conversation (turn-ordered `role: text` lines) with turn
@@ -1356,6 +1380,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_asof_join": q_cdc_asof_join,
     "cdc_debezium_parse": q_cdc_debezium_parse,
     "cdc_lag_metrics": q_cdc_lag_metrics,
+    "cdc_wal_profile": q_cdc_wal_profile,
+    "cdc_churn": q_cdc_churn,
+    "cdc_update_deltas": q_cdc_update_deltas,
     "transcript_assembly": q_transcript_assembly,
     "validate_dead_letter": q_validate_dead_letter,
     "validate_shapes": q_validate_shapes,
@@ -2716,6 +2743,48 @@ SELECT conv_id,
        round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS p_late
 FROM lat GROUP BY conv_id
+""",
+    "cdc_wal_profile": f"""
+WITH {CHANGES_ORACLE_CTE}
+SELECT date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_events,
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       count(DISTINCT conv_id) AS n_convs,
+       max(lsn) AS max_lsn
+FROM changes GROUP BY 1
+""",
+    "cdc_churn": f"""
+WITH {CHANGES_ORACLE_CTE}
+SELECT conv_id,
+       COUNT(*) AS n_events,
+       count(DISTINCT turn_idx) AS n_keys,
+       round(COUNT(*) / CAST(count(DISTINCT turn_idx) AS DOUBLE), 4) AS churn,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+FROM changes GROUP BY conv_id
+""",
+    "cdc_update_deltas": f"""
+WITH {CHANGES_ORACLE_CTE},
+lagged AS (
+    SELECT conv_id,
+           lag(text) OVER (
+               PARTITION BY conv_id, turn_idx ORDER BY ts, lsn) AS prev,
+           text
+    FROM changes
+),
+deltas AS (
+    SELECT conv_id,
+           CASE WHEN prev IS NOT NULL AND text IS NOT NULL
+                THEN levenshtein(prev, text) END AS d
+    FROM lagged
+)
+SELECT conv_id,
+       count(d) AS n_pairs,
+       round(avg(d), 4) AS avg_delta,
+       max(d) AS max_delta
+FROM deltas GROUP BY conv_id
+HAVING count(d) > 0
 """,
     "transcript_assembly": _LWW_RANKED
     + f"""

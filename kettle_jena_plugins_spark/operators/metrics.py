@@ -57,3 +57,84 @@ def lag_metrics(
             6,
         ).alias("p_late"),
     )
+
+
+def wal_profile(
+    changes: DataFrame,
+    ts_col: str = "ts",
+    conv_col: str = "conv_id",
+    op_col: str = "op",
+    lsn_col: str = "lsn",
+) -> DataFrame:
+    """Time-bucketed WAL throughput/shape profile: per event-time hour,
+    event and per-op counts, distinct conversations touched, and the max
+    LSN (the resume point a consumer at that hour would record). The ops
+    dashboard a CDC pipeline owner reads to size batches and spot op-mix
+    shifts (e.g. a delete storm). ONE hash agg on date_trunc — map-side
+    combine collapses each task to its hours before the shuffle."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    return changes.groupBy(hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col(op_col) == "I").cast("long")).alias("n_inserts"),
+        F.sum((F.col(op_col) == "U").cast("long")).alias("n_updates"),
+        F.sum((F.col(op_col) == "D").cast("long")).alias("n_deletes"),
+        F.countDistinct(F.col(conv_col)).alias("n_convs"),
+        F.max(F.col(lsn_col)).alias("max_lsn"),
+    )
+
+
+def churn_stats(
+    changes: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    op_col: str = "op",
+) -> DataFrame:
+    """Per-conversation write amplification: delivered events vs distinct
+    keys touched (churn = events/key — how many times the average turn was
+    rewritten) plus the delete count. Sizes the LWW reduction's payoff per
+    key shard (churn ≈ the factor by which post-reduce rows shrink) and
+    flags pathologically rewritten conversations. ONE hash agg."""
+    return changes.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col(turn_col)).alias("n_keys"),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct(F.col(turn_col)), 4
+        ).alias("churn"),
+        F.sum((F.col(op_col) == "D").cast("long")).alias("n_deletes"),
+    )
+
+
+def update_delta_stats(
+    changes: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    lsn_col: str = "lsn",
+) -> DataFrame:
+    """How much does each update actually change? Per conversation:
+    Levenshtein distance between consecutive text versions of the same key
+    in (ts, lsn) order — mean/max edit size plus the pair count. Separates
+    "updates are full rewrites" (CDC carrying new documents) from "updates
+    are small edits" (delta encoding / MOR compaction pays off). Pairs
+    with a NULL side (deletes) are excluded. One key-partitioned window
+    (lag) + one conv-keyed agg; distances are integers, so the mean is
+    exact on any engine."""
+    w = Window.partitionBy(conv_col, turn_col).orderBy(
+        F.col(ts_col), F.col(lsn_col)
+    )
+    prev = F.lag(F.col(text_col)).over(w)
+    delta = F.when(
+        prev.isNotNull() & F.col(text_col).isNotNull(),
+        F.levenshtein(prev, F.col(text_col)),
+    )
+    tagged = changes.select(F.col(conv_col), delta.alias("__d"))
+    return (
+        tagged.groupBy(conv_col)
+        .agg(
+            F.count(F.col("__d")).alias("n_pairs"),
+            F.round(F.avg(F.col("__d")), 4).alias("avg_delta"),
+            F.max(F.col("__d")).alias("max_delta"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )

@@ -353,3 +353,54 @@ def test_dedup_transcripts_collapses_identical_conversations(spark):
     )
     out = {r["keep_id"]: r["n_dups"] for r in dedup_transcripts(st).collect()}
     assert out == {"a1": 2, "b9": 1}
+
+
+def test_wal_profile_buckets_and_op_mix(spark):
+    from kettle_jena_plugins_spark.operators.metrics import wal_profile
+
+    rows = [
+        ("I", 1, "2024-01-01 10:05:00", "a", 0),
+        ("U", 2, "2024-01-01 10:55:00", "a", 0),
+        ("D", 3, "2024-01-01 11:05:00", "b", 1),
+    ]
+    ch = spark.createDataFrame(
+        rows, "op string, lsn long, ts string, conv_id string, turn_idx int"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["hour"]): r for r in wal_profile(ch).collect()}
+    h10 = out["2024-01-01 10:00:00"]
+    assert (h10["n_events"], h10["n_inserts"], h10["n_updates"],
+            h10["n_deletes"], h10["n_convs"], h10["max_lsn"]) == (2, 1, 1, 0, 1, 2)
+    h11 = out["2024-01-01 11:00:00"]
+    assert (h11["n_events"], h11["n_deletes"], h11["n_convs"]) == (1, 1, 1)
+
+
+def test_churn_and_update_deltas(spark):
+    from kettle_jena_plugins_spark.operators.metrics import (
+        churn_stats,
+        update_delta_stats,
+    )
+
+    rows = [
+        # conv a, turn 0: three versions; turn 1: one
+        ("I", 1, "2024-01-01 00:00:01", "a", 0, "kitten"),
+        ("U", 2, "2024-01-01 00:00:02", "a", 0, "sitting"),
+        ("U", 3, "2024-01-01 00:00:03", "a", 0, "sitting!"),
+        ("I", 4, "2024-01-01 00:00:04", "a", 1, "x"),
+        # conv b: delete (NULL text) breaks the pair chain
+        ("I", 5, "2024-01-01 00:00:05", "b", 0, "abc"),
+        ("D", 6, "2024-01-01 00:00:06", "b", 0, None),
+    ]
+    ch = spark.createDataFrame(
+        rows,
+        "op string, lsn long, ts string, conv_id string, turn_idx int, text string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    churn = {r["conv_id"]: r for r in churn_stats(ch).collect()}
+    assert (churn["a"]["n_events"], churn["a"]["n_keys"], churn["a"]["churn"]) == (4, 2, 2.0)
+    assert churn["b"]["n_deletes"] == 1
+    deltas = {r["conv_id"]: r for r in update_delta_stats(ch).collect()}
+    # conv a: kitten->sitting (3) and sitting->sitting! (1); conv b: no
+    # non-null pair -> filtered out entirely
+    assert set(deltas) == {"a"}
+    assert deltas["a"]["n_pairs"] == 2
+    assert deltas["a"]["avg_delta"] == 2.0
+    assert deltas["a"]["max_delta"] == 3
