@@ -290,6 +290,17 @@ def q_cdc_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lag_metrics(disordered)
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the raw events table (30-min gap rule):
+    gaps-and-islands via one user-partitioned window + one hash agg —
+    the bounded-data twin of the streaming applyInPandasWithState
+    sessionizer, integer-microsecond durations."""
+    from kettle_jena_plugins_spark.operators.metrics import event_sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_sessions(ev)
+
+
 def q_cdc_wal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed WAL ops profile (per event-time hour: volume, op mix,
     conversations touched, resume LSN). One date_trunc hash agg."""
@@ -1381,6 +1392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_debezium_parse": q_cdc_debezium_parse,
     "cdc_lag_metrics": q_cdc_lag_metrics,
     "cdc_wal_profile": q_cdc_wal_profile,
+    "event_sessions": q_event_sessions,
     "cdc_churn": q_cdc_churn,
     "cdc_update_deltas": q_cdc_update_deltas,
     "transcript_assembly": q_transcript_assembly,
@@ -2743,6 +2755,33 @@ SELECT conv_id,
        round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS p_late
 FROM lat GROUP BY conv_id
+""",
+    "event_sessions": """
+WITH b AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                     > 30 * 60000000
+                THEN 1 ELSE 0 END AS is_new,
+           event_id
+    FROM events
+),
+s AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_idx
+    FROM b
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       min(ts) AS start_ts,
+       max(ts) AS end_ts,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY user_id, session_idx
 """,
     "cdc_wal_profile": f"""
 WITH {CHANGES_ORACLE_CTE}

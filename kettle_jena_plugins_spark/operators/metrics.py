@@ -138,3 +138,46 @@ def update_delta_stats(
         )
         .filter(F.col("n_pairs") > 0)
     )
+
+
+def event_sessions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): consecutive events of the
+    same user closer than ``gap_minutes`` belong to one session; a larger
+    gap starts the next. The bounded-data counterpart of
+    streaming/sessionize.py's applyInPandasWithState operator — same
+    session semantics, but expressed as ONE user-partitioned window pass
+    (lag → boundary flag → running sum = session index) + ONE hash agg,
+    so Catalyst reuses the partitioning and nothing touches Python.
+    Durations are integer microseconds end-to-end (no float drift).
+
+    Returns (user_id, session_idx, n_events, start_ts, end_ts,
+    duration_us) with session_idx numbered 1.. per user in time order."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    # parquet event logs often carry TIMESTAMP_NTZ; unix_micros requires
+    # TIMESTAMP — the cast reads NTZ as session-zone (UTC) wall time
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    boundary = F.when(
+        prev.isNull() | ((us - prev) > gap_minutes * 60_000_000), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    tagged = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.sum(boundary).over(run).alias("session_idx"),
+    )
+    return tagged.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        (
+            F.unix_micros(F.max(ts_col).cast("timestamp"))
+            - F.unix_micros(F.min(ts_col).cast("timestamp"))
+        ).alias("duration_us"),
+    )

@@ -404,3 +404,28 @@ def test_churn_and_update_deltas(spark):
     assert deltas["a"]["n_pairs"] == 2
     assert deltas["a"]["avg_delta"] == 2.0
     assert deltas["a"]["max_delta"] == 3
+
+
+def test_event_sessions_gap_rule(spark):
+    """Sessions split exactly at gaps > 30 min; boundaries and durations
+    are integer-microsecond exact."""
+    from kettle_jena_plugins_spark.operators.metrics import event_sessions
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7),
+        (2, "2024-01-01 00:29:00", 7),   # 29 min -> same session
+        (3, "2024-01-01 01:00:00", 7),   # 31 min -> NEW session
+        (4, "2024-01-01 01:30:00", 7),   # exactly 30 min -> same (not >)
+        (5, "2024-01-01 00:00:00", 8),   # other user: own numbering
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["user_id"], r["session_idx"]): r
+           for r in event_sessions(ev).collect()}
+    assert set(out) == {(7, 1), (7, 2), (8, 1)}
+    assert out[(7, 1)]["n_events"] == 2
+    assert out[(7, 1)]["duration_us"] == 29 * 60 * 1_000_000
+    assert out[(7, 2)]["n_events"] == 2
+    assert out[(7, 2)]["duration_us"] == 30 * 60 * 1_000_000
+    assert out[(8, 1)]["n_events"] == 1 and out[(8, 1)]["duration_us"] == 0
