@@ -325,6 +325,42 @@ def q_cdc_update_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return update_delta_stats(change_events(spark, sf_dir))
 
 
+def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under the hash-checked gate: apply the
+    change stream to a lake target in TWO batches, maintain a per-conv
+    rollup from v1 to v2 using ONLY the net changelog + the changed keys'
+    v1 rows (O(keys touched), never O(table)), and return the maintained
+    aggregate. Oracle = recompute-from-scratch in SQL — proving
+    incremental(v1→v2) == recompute(v2) exactly."""
+    import shutil
+    import tempfile
+
+    from kettle_jena_plugins_spark.operators.rollup import (
+        conv_rollup,
+        incremental_conv_rollup,
+    )
+    from kettle_jena_plugins_spark.streaming.apply import CDCConfig, apply_batch
+    from kettle_jena_plugins_spark.targets.parquet_lake import ParquetLakeTarget
+
+    # mod-4 subsample (cost: two lake commits ride this query; equivalence
+    # is scale-free) — the oracle applies the same filter
+    ch = change_events(spark, sf_dir).filter(F.col("lsn") % 4 == 0)
+    base = f"{tempfile.gettempdir()}/kjp_cdc_incr_rollup"
+    shutil.rmtree(base, ignore_errors=True)
+    tgt = ParquetLakeTarget(spark, f"{base}/tbl", n_buckets=8)
+    tgt.create()
+    cfg = CDCConfig(normalize=False)
+    apply_batch(tgt, ch.filter(F.col("lsn") % 3 != 0), 0, cfg)
+    v1 = tgt.snapshots()[-1]
+    apply_batch(tgt, ch.filter(F.col("lsn") % 3 == 0), 1, cfg)
+    v2 = tgt.snapshots()[-1]
+    return incremental_conv_rollup(
+        conv_rollup(tgt.read(version=v1)),
+        tgt.changes_between(v1, v2),
+        tgt.read(version=v1),
+    )
+
+
 def q_transcript_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC → training-data bridge: fold the LWW final table state back into
     one document per conversation (turn-ordered `role: text` lines) with turn
@@ -1395,6 +1431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_sessions": q_event_sessions,
     "cdc_churn": q_cdc_churn,
     "cdc_update_deltas": q_cdc_update_deltas,
+    "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "transcript_assembly": q_transcript_assembly,
     "validate_dead_letter": q_validate_dead_letter,
     "validate_shapes": q_validate_shapes,
@@ -2685,6 +2722,27 @@ ranked AS (
 )
 SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
 FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+    # cdc_incremental_rollup: the oracle RECOMPUTES the rollup from scratch
+    # over the same mod-4 stream — the IVM identity incremental == recompute.
+    "cdc_incremental_rollup": f"""
+WITH {CHANGES_ORACLE_CTE},
+ranked AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY conv_id, turn_idx
+               ORDER BY ts DESC, lsn DESC, op DESC
+           ) AS rn
+    FROM changes WHERE lsn % 4 = 0
+),
+state AS (
+    SELECT conv_id, turn_idx, text
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(sum({_NTOK}) AS BIGINT) AS n_tokens
+FROM state GROUP BY conv_id
 """,
     "cdc_lww_state_salted": _LWW_RANKED
     + """

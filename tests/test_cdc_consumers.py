@@ -429,3 +429,58 @@ def test_event_sessions_gap_rule(spark):
     assert out[(7, 2)]["n_events"] == 2
     assert out[(7, 2)]["duration_us"] == 30 * 60 * 1_000_000
     assert out[(8, 1)]["n_events"] == 1 and out[(8, 1)]["duration_us"] == 0
+
+
+def test_incremental_rollup_edges(spark, tmp_path):
+    """IVM edges: update retracts the old row, delete removes a turn,
+    a brand-new conversation appears, a fully-deleted conversation drops
+    out — incremental result equals recompute in every case."""
+    from kettle_jena_plugins_spark.operators.rollup import (
+        conv_rollup,
+        incremental_conv_rollup,
+    )
+    from kettle_jena_plugins_spark.streaming.apply import CDCConfig, apply_batch
+    from kettle_jena_plugins_spark.targets.parquet_lake import ParquetLakeTarget
+
+    cols = "op string, lsn long, ts timestamp, conv_id string, turn_idx int, role string, text string, tool string"
+
+    def ev(rows):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [
+                (op, lsn, base + dt.timedelta(seconds=lsn), c, t, "user", x, None)
+                for op, lsn, c, t, x in rows
+            ],
+            cols,
+        )
+
+    tgt = ParquetLakeTarget(spark, str(tmp_path / "tbl"), n_buckets=4)
+    tgt.create()
+    cfg = CDCConfig(normalize=False)
+    apply_batch(tgt, ev([
+        ("I", 1, "a", 0, "one two"),
+        ("I", 2, "a", 1, "three"),
+        ("I", 3, "b", 0, "gone soon"),
+    ]), 0, cfg)
+    v1 = tgt.snapshots()[-1]
+    apply_batch(tgt, ev([
+        ("U", 4, "a", 0, "one two three four"),  # update: retract 2, add 4
+        ("D", 5, "b", 0, None),                   # conv b fully deleted
+        ("I", 6, "c", 0, "brand new conv"),       # new conversation
+    ]), 1, cfg)
+    v2 = tgt.snapshots()[-1]
+    got = {
+        r["conv_id"]: (r["n_turns"], r["n_tokens"])
+        for r in incremental_conv_rollup(
+            conv_rollup(tgt.read(version=v1)),
+            tgt.changes_between(v1, v2),
+            tgt.read(version=v1),
+        ).collect()
+    }
+    want = {
+        r["conv_id"]: (r["n_turns"], r["n_tokens"])
+        for r in conv_rollup(tgt.read(version=v2)).collect()
+    }
+    assert got == want == {"a": (2, 5), "c": (1, 3)}  # b dropped out
