@@ -290,6 +290,23 @@ def q_cdc_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lag_metrics(disordered)
 
 
+def q_events_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read: promote the JSON `props` payload to a typed column
+    at scan time (no Python), then aggregate per event type — integer
+    stats so the mean stays engine-exact."""
+    from kettle_jena_plugins_spark.sources.changes import promote_json_payload
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    typed = promote_json_payload(ev, {"k": ("$.k", "int")})
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum("k").alias("k_sum"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization of the raw events table (30-min gap rule):
     gaps-and-islands via one user-partitioned window + one hash agg —
@@ -1429,6 +1446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lag_metrics": q_cdc_lag_metrics,
     "cdc_wal_profile": q_cdc_wal_profile,
     "event_sessions": q_event_sessions,
+    "events_payload_stats": q_events_payload_stats,
     "cdc_churn": q_cdc_churn,
     "cdc_update_deltas": q_cdc_update_deltas,
     "cdc_incremental_rollup": q_cdc_incremental_rollup,
@@ -2813,6 +2831,20 @@ SELECT conv_id,
        round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS p_late
 FROM lat GROUP BY conv_id
+""",
+    "events_payload_stats": """
+WITH typed AS (
+    SELECT event_type, user_id,
+           json_extract_string(props, '$.k')::INT AS k
+    FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       min(k) AS k_min,
+       max(k) AS k_max,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       count(DISTINCT user_id) AS n_users
+FROM typed GROUP BY event_type
 """,
     "event_sessions": """
 WITH b AS (

@@ -89,3 +89,24 @@ changes AS (
     FROM events
 )
 """
+
+
+def promote_json_payload(
+    df: DataFrame,
+    fields: dict[str, tuple[str, str]],
+    json_col: str = "props",
+) -> DataFrame:
+    """Schema-on-read payload promotion: pull typed columns out of a JSON
+    payload column at scan time — the step a CDC consumer runs when the
+    WAL carries a semi-structured envelope (Debezium `after`, app-level
+    props blobs). ``fields`` maps new column name → (JSONPath, cast type).
+    Pure narrow projection (get_json_object fuses into the scan's
+    codegen); malformed/missing paths yield null, to be routed by the
+    usual null policies. At 100 TB this beats a UDF-side json.loads by
+    the whole Python round trip."""
+    out = df
+    for name, (path, dtype) in fields.items():
+        out = out.withColumn(
+            name, F.get_json_object(F.col(json_col), path).cast(dtype)
+        )
+    return out

@@ -484,3 +484,26 @@ def test_incremental_rollup_edges(spark, tmp_path):
         for r in conv_rollup(tgt.read(version=v2)).collect()
     }
     assert got == want == {"a": (2, 5), "c": (1, 3)}  # b dropped out
+
+
+def test_promote_json_payload_types_and_nulls(spark):
+    """Typed promotion with malformed JSON / missing keys -> null, and the
+    projection stays narrow (no Exchange before the agg)."""
+    from kettle_jena_plugins_spark.sources.changes import promote_json_payload
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 42, "s": "x"}'),
+            (2, '{"s": "only"}'),      # missing k -> null
+            (3, "not json"),           # malformed -> null
+            (4, None),                 # null blob -> null
+        ],
+        "event_id long, props string",
+    )
+    out = promote_json_payload(
+        df, {"k": ("$.k", "int"), "s": ("$.s", "string")}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["event_id"]: (r["k"], r["s"]) for r in out.collect()}
+    assert got == {1: (42, "x"), 2: (None, "only"), 3: (None, None), 4: (None, None)}
