@@ -874,6 +874,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id_a", "id_b")
 
 
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-match pairs: (prefix, length-band) blocking →
+    Levenshtein ≤ 2 verify. Propose-then-verify; never all-pairs."""
+    from kettle_jena_plugins_spark.operators.dedup import fuzzy_pairs
+
+    return fuzzy_pairs(_docs_with_dups(spark, sf_dir), max_dist=2)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kettle_jena_plugins_spark.operators.dedup import simhash60
 
@@ -1387,6 +1395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_fuzzy": q_dedup_fuzzy,
     "dedup_simhash": q_dedup_simhash,
     "embed_topk": q_embed_topk,
     "embed_near_dup": q_embed_near_dup,
@@ -1746,6 +1755,24 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
 FROM reach GROUP BY src
+""",
+    "dedup_fuzzy": f"""
+WITH {_DOCS_DUPS_CTE},
+k AS (
+    SELECT doc_id AS id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+    FROM docs2
+),
+blk AS (
+    SELECT id, n, substr(n, 1, 4) AS bk_head,
+           CAST(floor(length(n) / 16) AS BIGINT) AS bk_len
+    FROM k
+)
+SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.n, b.n) AS dist
+FROM blk a JOIN blk b ON a.bk_head = b.bk_head AND a.bk_len = b.bk_len
+WHERE a.id < b.id
+  AND abs(length(a.n) - length(b.n)) <= 2
+  AND levenshtein(a.n, b.n) <= 2
 """,
     "dedup_simhash": """
 WITH toks AS (

@@ -668,3 +668,58 @@ def span_dup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    max_dist: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix: int = 4,
+    band: int = 16,
+) -> DataFrame:
+    """Typo-level near-match pairs by bounded edit distance — the fourth
+    classic dedup primitive next to exact hash, MinHash-Jaccard, and
+    SimHash: catches single-character corruptions (OCR noise, mojibake,
+    truncated exports) that shingle-based similarity over-scores and
+    exact hashing misses entirely.
+
+    Propose-then-verify like the LSH family: candidates must share a
+    blocking key (normalized ``prefix``-char head + length band of width
+    ``band``) — a same-block self-join, never all-pairs — then verify
+    with full Levenshtein ≤ max_dist after a length-difference pre-gate.
+    Like LSH banding, blocking trades recall for cost (pairs differing in
+    the first ``prefix`` chars, or straddling a band boundary, are not
+    proposed); the verify stage keeps precision exact. At 100 TB the
+    block key bounds candidates the way (band, bucket) does for MinHash.
+
+    Returns (id_a, id_b, dist), id_a < id_b.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    blocked = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("n"),
+        F.substring(norm, 1, prefix).alias("bk_head"),
+        F.floor(F.length(norm) / band).alias("bk_len"),
+    )
+    a = blocked.select(
+        F.col("id").alias("id_a"), F.col("n").alias("na"), "bk_head", "bk_len"
+    )
+    b = blocked.select(
+        F.col("id").alias("id_b"), F.col("n").alias("nb"), "bk_head", "bk_len"
+    )
+    return (
+        a.join(b, ["bk_head", "bk_len"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("na") - F.length("nb")) <= max_dist
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("na", "nb").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

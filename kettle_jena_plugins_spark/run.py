@@ -31,6 +31,8 @@ import json
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 from .datagen import gen_change_events
 from .session import get_spark
 from .streaming.apply import CDCConfig, apply_batch, run_stream
@@ -104,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--index", required=True, help="index directory")
     ix.add_argument("--threshold", type=float, default=0.8)
     ix.add_argument("--limit", type=int, default=20)
+
+    pf = sub.add_parser("profile")
+    pf.add_argument("--wal", required=True, help="WAL parquet dir of change events")
+    pf.add_argument("--limit", type=int, default=20)
 
     pl = sub.add_parser("pipeline")
     pl.add_argument("--spec", required=True, help="JSON pipeline spec file")
@@ -189,6 +195,25 @@ def main(argv: list[str] | None = None) -> int:
             out["buckets_compacted"] = tgt.compact()
         out.update(tgt.expire_snapshots(keep_last=args.keep_last))
         print(json.dumps(out))
+    elif args.cmd == "profile":
+        from .operators.metrics import churn_stats, update_delta_stats, wal_profile
+
+        ch = spark.read.parquet(args.wal)
+        for r in wal_profile(ch).orderBy("hour").limit(args.limit).collect():
+            print(json.dumps({"wal_hour": r.asDict()}, default=str))
+        worst = (
+            churn_stats(ch).orderBy(F.col("churn").desc(), "conv_id")
+            .limit(args.limit).collect()
+        )
+        for r in worst:
+            print(json.dumps({"churn": r.asDict()}, default=str))
+        big = (
+            update_delta_stats(ch)
+            .orderBy(F.col("avg_delta").desc(), "conv_id")
+            .limit(args.limit).collect()
+        )
+        for r in big:
+            print(json.dumps({"update_delta": r.asDict()}, default=str))
     elif args.cmd == "index":
         from .operators.dedup import (
             append_to_dedup_index,

@@ -507,3 +507,27 @@ def test_promote_json_payload_types_and_nulls(spark):
     assert "Exchange" not in plan
     got = {r["event_id"]: (r["k"], r["s"]) for r in out.collect()}
     assert got == {1: (42, "x"), 2: (None, "only"), 3: (None, None), 4: (None, None)}
+
+
+def test_cli_profile_command(spark, tmp_path, capsys):
+    """`run profile --wal DIR` prints hourly WAL buckets, churn and
+    update-delta lines as JSON."""
+    import json as _json
+
+    from kettle_jena_plugins_spark.datagen import gen_change_events
+    from kettle_jena_plugins_spark.run import main
+
+    gen_change_events(spark, 2000, n_convs=50).write.mode("overwrite").parquet(
+        str(tmp_path / "wal")
+    )
+    rc = main(["profile", "--wal", str(tmp_path / "wal"), "--limit", "3"])
+    assert rc == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    kinds = {next(iter(d)) for d in lines}
+    assert kinds == {"wal_hour", "churn", "update_delta"}
+    hour_rows = [d["wal_hour"] for d in lines if "wal_hour" in d]
+    assert all(r["n_events"] >= 1 for r in hour_rows)

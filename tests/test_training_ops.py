@@ -601,3 +601,30 @@ def test_pq_rerank_recovers_exact_order_within_shortlist(spark):
         rs.sort(key=lambda r: r["rank"])
         assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
         assert all(a["d2"] <= b["d2"] for a, b in zip(rs, rs[1:]))
+
+
+def test_fuzzy_pairs_typos_and_blocking(spark):
+    """Single-character typos pair up at their true edit distance; pairs
+    differing in the blocking prefix are (by design) not proposed; far
+    strings never verify."""
+    from kettle_jena_plugins_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumped"),   # dist 2 (s -> ed)
+            (3, "the quick brown cat jumps"),    # dist 3 from #1 -> out
+            (4, "The  Quick brown fox jumps"),   # normalizes to #1 -> dist 0
+            (5, "xhe quick brown fox jumps"),    # dist 1 BUT prefix differs
+            (6, "something entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_pairs(df, max_dist=2).collect()}
+    assert got[(1, 2)] == 2
+    assert got[(1, 4)] == 0
+    assert got[(2, 4)] == 2
+    assert (1, 3) not in got          # distance 3 > max_dist
+    assert (1, 5) not in got          # blocking recall miss, documented
+    assert not any(6 in k for k in got)
