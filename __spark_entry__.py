@@ -974,6 +974,16 @@ def q_embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(em, queries_df, books, k=5)
 
 
+def q_embed_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-evaluation harness: majority label of the exact top-5
+    cosine neighbors vs the query's own label — the embedding-quality
+    probe run before trusting an index for retrieval curation."""
+    from kettle_jena_plugins_spark.operators.similarity import knn_label_eval
+
+    em = _embeds(spark, sf_dir)
+    return knn_label_eval(em, em.filter(F.col("vec_id") % 25 == 0), k=5)
+
+
 def q_embed_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-index search end to end: ADC shortlist (20 per query,
     m-byte codes only) → exact squared-L2 re-rank over true vectors read
@@ -1404,6 +1414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "embed_pq_topk": q_embed_pq_topk,
     "embed_pq_rerank": q_embed_pq_rerank,
+    "embed_knn_eval": q_embed_knn_eval,
     "text_profile": q_text_profile,
     "text_tfidf": q_text_tfidf,
     "corpus_stats": q_corpus_stats,
@@ -1790,6 +1801,37 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INTEGER))
                      ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
+""",
+    "embed_knn_eval": f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS true_label
+    FROM embeddings WHERE vec_id % 25 = 0
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS nl
+      FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, nl, {_COS} AS cos
+    FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+),
+topk AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r
+        FROM scored) WHERE r <= 5
+),
+votes AS (
+    SELECT query_id, nl, COUNT(*) AS n_votes
+    FROM topk GROUP BY query_id, nl
+),
+pred AS (
+    SELECT query_id, nl AS pred_label, n_votes FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY n_votes DESC, nl) AS r
+        FROM votes) WHERE r = 1
+)
+SELECT p.query_id, p.pred_label, p.n_votes, q.true_label,
+       p.pred_label = q.true_label AS correct
+FROM pred p JOIN q ON q.query_id = p.query_id
 """,
     "embed_topk": f"""
 WITH q AS (

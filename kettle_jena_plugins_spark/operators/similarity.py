@@ -80,6 +80,53 @@ def brute_force_topk(
     )
 
 
+def knn_label_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label evaluation — the harness side of similarity search: each
+    query is classified by the majority label of its exact top-k cosine
+    neighbors (ties → smallest label), compared to its own label. The
+    standard embedding-quality probe (are same-label points mutual
+    neighbors?) run before trusting an index for retrieval curation.
+
+    Plan shape: brute_force_topk's broadcast cross-score (queries ≪
+    corpus), a broadcast label join, one (query, label) vote agg, one
+    per-query argmax window over ≤ k·|queries| vote rows. Returns
+    (query_id, pred_label, n_votes, true_label, correct)."""
+    topk = brute_force_topk(corpus, queries, k, id_col, vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nl")
+    )
+    votes = (
+        topk.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("nl")
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("nl").alias("pred_label"), "n_votes")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "pred_label",
+        "n_votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.98,

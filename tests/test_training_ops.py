@@ -628,3 +628,30 @@ def test_fuzzy_pairs_typos_and_blocking(spark):
     assert (1, 3) not in got          # distance 3 > max_dist
     assert (1, 5) not in got          # blocking recall miss, documented
     assert not any(6 in k for k in got)
+
+
+def test_knn_label_eval_on_clustered_labels(spark):
+    """With tight labeled clusters, kNN majority recovers the true label;
+    vote counts are bounded by k and ties break deterministically."""
+    import random as pyrandom
+
+    from kettle_jena_plugins_spark.operators.similarity import knn_label_eval
+
+    rng = pyrandom.Random(5)
+    dim, n_labels, per = 16, 4, 10
+    centers = [[rng.gauss(0, 1.0) for _ in range(dim)] for _ in range(n_labels)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.05) for x in centers[i % n_labels]],
+         f"L{i % n_labels}")
+        for i in range(n_labels * per)
+    ]
+    em = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).cache()
+    out = knn_label_eval(em, em.filter(F.col("vec_id") < 4), k=5).collect()
+    em.unpersist()
+    assert len(out) == 4
+    for r in out:
+        assert r["correct"] is True
+        assert r["pred_label"] == r["true_label"]
+        assert 1 <= r["n_votes"] <= 5
