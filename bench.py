@@ -133,17 +133,21 @@ def main() -> None:
     queries["cdc_apply"] = round(wall, 3)
 
     total = round(sum(queries.values()), 3)
+    # compact separators + 2-decimal per-query values: the driver's tail
+    # capture has a fixed budget — round 3's 73-query line outgrew it and
+    # recorded "parsed": null. Fit the window.
     print(
         json.dumps(
             {
                 "metric": "cdc_apply_plus_queries_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": queries,
+                "queries": {k: round(v, 2) for k, v in queries.items()},
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "cdc": extra,
                 "cpus": CPUS,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

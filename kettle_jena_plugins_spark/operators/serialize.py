@@ -273,20 +273,100 @@ def xml_escape_attr(col: Column) -> Column:
     return F.replace(xml_escape(col), F.lit('"'), F.lit("&quot;"))
 
 
+def _xml_property_qname(prop: str, ns: dict[str, str]) -> str:
+    qn = _compact(prop, ns)
+    if qn.startswith("<"):
+        raise ValueError(
+            f"RDF/XML requires a registered namespace for predicate {prop}"
+        )
+    return qn
+
+
+def _xml_literal_segment(qn: str, spec: StatementSpec) -> Column:
+    """One `<qn ...>escaped-lexical</qn>` property element (null-gated,
+    coalesced to '' so absent values vanish from the concatenation)."""
+    from ..functions.typed_literals import RDF_NS, XSD
+
+    if spec.prerendered:
+        raise ValueError(
+            "rdfxml cannot consume prerendered N-Triples terms; "
+            "serialize from the source column with datatype/lang instead"
+        )
+    src = F.col(spec.column)
+    if spec.lang:
+        seg = F.when(
+            src.isNotNull(),
+            F.concat(
+                F.lit(f'<{qn} xml:lang="{spec.lang}">'),
+                xml_escape(src.cast("string")),
+                F.lit(f"</{qn}>"),
+            ),
+        )
+    elif spec.datatype:
+        dt_ns = RDF_NS if spec.datatype in ("HTML", "XMLLiteral") else XSD
+        uri = dt_ns + (
+            "normalizedString"
+            if spec.datatype == "normalizeString"
+            else spec.datatype
+        )
+        rendered = to_typed_literal(src, spec.datatype)
+        # rendered is '"lex"^^<uri>' with a constant-length suffix;
+        # slice the lexical form back out (gated nulls stay null)
+        suffix_len = len(f'"^^<{uri}>')
+        lex = rendered.substr(
+            F.lit(2), F.length(rendered) - F.lit(suffix_len + 1)
+        )
+        seg = F.when(
+            rendered.isNotNull(),
+            F.concat(
+                F.lit(f'<{qn} rdf:datatype="{uri}">'),
+                xml_escape(lex),
+                F.lit(f"</{qn}>"),
+            ),
+        )
+    else:
+        seg = F.when(
+            src.isNotNull(),
+            F.concat(
+                F.lit(f"<{qn}>"),
+                xml_escape(src.cast("string")),
+                F.lit(f"</{qn}>"),
+            ),
+        )
+    return F.coalesce(seg, F.lit(""))
+
+
+def _xml_envelope(
+    spark, body: DataFrame, ns: dict[str, str]
+) -> DataFrame:
+    xmlns = " ".join(f'xmlns:{p}="{u}"' for p, u in sorted(ns.items()))
+    header = spark.createDataFrame(
+        [
+            ('<?xml version="1.0" encoding="UTF-8"?>',),
+            (f"<rdf:RDF {xmlns}>",),
+        ],
+        "value string",
+    )
+    footer = spark.createDataFrame([("</rdf:RDF>",)], "value string")
+    # header ∪ body ∪ footer: coalesce(1) preserves partition order, so a
+    # single-file write yields well-formed XML top to bottom
+    return header.unionByName(body).unionByName(footer)
+
+
 def rdfxml_rows(
     docs: DataFrame,
     subject_col: str = "subject",
     statements: dict[str, StatementSpec | str] | None = None,
     namespaces: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Flat RDF/XML (Rdf11.java:82-83 RDF/XML and, for this engine's
-    one-subject-per-row documents, RDF/XML-ABBREV collapses to the same
-    shape): XML declaration + <rdf:RDF> open with xmlns declarations, one
-    `<rdf:Description rdf:about=...>` row per subject holding its property
-    elements (xml:lang / rdf:datatype attributes for tagged/typed objects),
-    and the close tag. Every predicate must compact under a registered
-    namespace — RDF/XML cannot express un-namespaced property elements."""
-    from ..functions.typed_literals import RDF_NS, XSD
+    """Flat RDF/XML (Rdf11.java:82-83): XML declaration + <rdf:RDF> open
+    with xmlns declarations, one `<rdf:Description rdf:about=...>` row per
+    subject holding its property elements (xml:lang / rdf:datatype
+    attributes for tagged/typed objects), and the close tag. Every
+    predicate must compact under a registered namespace — RDF/XML cannot
+    express un-namespaced property elements. For the abbreviated syntax
+    (typed node elements, blank-node elision) see rdfxml_abbrev_rows."""
+    from ..functions.typed_literals import RDF_NS
 
     ns = dict(
         sorted(
@@ -299,58 +379,8 @@ def rdfxml_rows(
     for prop, spec in stmts.items():
         if isinstance(spec, str):
             spec = StatementSpec(spec)
-        if spec.prerendered:
-            raise ValueError(
-                "rdfxml cannot consume prerendered N-Triples terms; "
-                "serialize from the source column with datatype/lang instead"
-            )
-        qn = _compact(prop, ns)
-        if qn.startswith("<"):
-            raise ValueError(
-                f"RDF/XML requires a registered namespace for predicate {prop}"
-            )
-        src = F.col(spec.column)
-        if spec.lang:
-            seg = F.when(
-                src.isNotNull(),
-                F.concat(
-                    F.lit(f'<{qn} xml:lang="{spec.lang}">'),
-                    xml_escape(src.cast("string")),
-                    F.lit(f"</{qn}>"),
-                ),
-            )
-        elif spec.datatype:
-            dt_ns = RDF_NS if spec.datatype in ("HTML", "XMLLiteral") else XSD
-            uri = dt_ns + (
-                "normalizedString"
-                if spec.datatype == "normalizeString"
-                else spec.datatype
-            )
-            rendered = to_typed_literal(src, spec.datatype)
-            # rendered is '"lex"^^<uri>' with a constant-length suffix;
-            # slice the lexical form back out (gated nulls stay null)
-            suffix_len = len(f'"^^<{uri}>')
-            lex = rendered.substr(
-                F.lit(2), F.length(rendered) - F.lit(suffix_len + 1)
-            )
-            seg = F.when(
-                rendered.isNotNull(),
-                F.concat(
-                    F.lit(f'<{qn} rdf:datatype="{uri}">'),
-                    xml_escape(lex),
-                    F.lit(f"</{qn}>"),
-                ),
-            )
-        else:
-            seg = F.when(
-                src.isNotNull(),
-                F.concat(
-                    F.lit(f"<{qn}>"),
-                    xml_escape(src.cast("string")),
-                    F.lit(f"</{qn}>"),
-                ),
-            )
-        segs.append(F.coalesce(seg, F.lit("")))
+        qn = _xml_property_qname(prop, ns)
+        segs.append(_xml_literal_segment(qn, spec))
     body = docs.select(
         F.concat(
             F.lit('  <rdf:Description rdf:about="'),
@@ -360,19 +390,81 @@ def rdfxml_rows(
             F.lit("</rdf:Description>"),
         ).alias("value")
     )
-    xmlns = " ".join(f'xmlns:{p}="{u}"' for p, u in sorted(ns.items()))
-    spark = docs.sparkSession
-    header = spark.createDataFrame(
-        [
-            ('<?xml version="1.0" encoding="UTF-8"?>',),
-            (f"<rdf:RDF {xmlns}>",),
-        ],
-        "value string",
+    return _xml_envelope(docs.sparkSession, body, ns)
+
+
+def rdfxml_abbrev_rows(
+    docs: DataFrame,
+    subject_col: str = "subject",
+    statements: dict | None = None,
+    namespaces: dict[str, str] | None = None,
+    type_uri: str | None = None,
+) -> DataFrame:
+    """Abbreviated RDF/XML (Rdf11.java:82-83 RDF/XML-ABBREV, Jena's
+    "Abbreviated" writer) — genuinely distinct from the flat layout:
+
+      * **typed node elements**: when `type_uri` is given, the subject's
+        rdf:type statement is folded into the element name —
+        `<t:Turn rdf:about=...>` instead of `<rdf:Description>` +
+        `<rdf:type rdf:resource=.../>`;
+      * **blank-node elision** via `rdf:parseType="Resource"`: a nested
+        dict value in `statements` describes an anonymous substructure
+        (construct.py's recursive blank-node children,
+        JenaModelStep.java:347-376) written inline as
+        `<t:meta rdf:parseType="Resource">…children…</t:meta>` — no
+        rdf:nodeID indirection, no inner rdf:Description element.
+
+    A substructure whose children are all null drops entirely
+    (ActionIfNull=IGNORE parity with construct.py). Literal property
+    elements share the flat writer's xml:lang / rdf:datatype machinery.
+    Pure Catalyst string expressions — one narrow projection per row."""
+    from ..functions.typed_literals import RDF_NS
+
+    ns = dict(
+        sorted(
+            (namespaces if namespaces is not None else DEFAULT_NAMESPACES).items()
+        )
     )
-    footer = spark.createDataFrame([("</rdf:RDF>",)], "value string")
-    # header ∪ body ∪ footer: coalesce(1) preserves partition order, so a
-    # single-file write yields well-formed XML top to bottom
-    return header.unionByName(body).unionByName(footer)
+    ns.setdefault("rdf", RDF_NS)
+
+    def render(stmts: dict) -> Column:
+        segs: list[Column] = []
+        for prop, spec in stmts.items():
+            qn = _xml_property_qname(prop, ns)
+            if isinstance(spec, dict):
+                inner = render(spec)
+                # all-null children → empty inner → drop the property
+                seg = F.when(
+                    F.length(inner) > 0,
+                    F.concat(
+                        F.lit(f'<{qn} rdf:parseType="Resource">'),
+                        inner,
+                        F.lit(f"</{qn}>"),
+                    ),
+                )
+                segs.append(F.coalesce(seg, F.lit("")))
+            else:
+                if isinstance(spec, str):
+                    spec = StatementSpec(spec)
+                segs.append(_xml_literal_segment(qn, spec))
+        return F.concat(*segs) if segs else F.lit("")
+
+    if type_uri is not None:
+        tq = _xml_property_qname(type_uri, ns)
+        open_lit, close_lit = f'  <{tq} rdf:about="', f"</{tq}>"
+    else:
+        open_lit = '  <rdf:Description rdf:about="'
+        close_lit = "</rdf:Description>"
+    body = docs.select(
+        F.concat(
+            F.lit(open_lit),
+            xml_escape_attr(F.col(subject_col)),
+            F.lit('">'),
+            render(statements or {}),
+            F.lit(close_lit),
+        ).alias("value")
+    )
+    return _xml_envelope(docs.sparkSession, body, ns)
 
 
 def serialize_docs(
@@ -413,17 +505,14 @@ def serialize_docs(
             df = df.coalesce(1)
         df.write.mode("overwrite").text(path)
     elif fmt in ("rdfxml", "rdfxml-abbrev"):
-        # RDF/XML-ABBREV (Rdf11.java:82-83) collapses to flat RDF/XML for
-        # this engine's documents: one subject per row, literal-valued
-        # properties only, no rdf:type — abbreviation (typed node elements,
-        # nested resources) has nothing to abbreviate, so both layouts are
-        # the same element structure. tests/test_serialize.py verifies the
-        # claim by parsing the XML back to the N-Triples triple set.
         # ALWAYS one part-file: XML declaration/<rdf:RDF>/body/footer split
         # across part-files would leave no individual file well-formed —
         # only the exact filename-ordered concatenation would parse
-        df = rdfxml_rows(out, subject_col, statements, namespaces).coalesce(1)
-        df.write.mode("overwrite").text(path)
+        if fmt == "rdfxml-abbrev":
+            df = rdfxml_abbrev_rows(out, subject_col, statements, namespaces)
+        else:
+            df = rdfxml_rows(out, subject_col, statements, namespaces)
+        df.coalesce(1).write.mode("overwrite").text(path)
     else:  # ntriples
         ntriples_lines(out, subject_col, statements).write.mode(
             "overwrite"

@@ -927,6 +927,109 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 8,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+    seed_hash: str = "xxhash64",
+) -> DataFrame:
+    """IVF-PQ: the 100-TB ANN recipe — IVF cell routing GATES the PQ ADC
+    scan, so each query's asymmetric-distance pass touches only its nprobe
+    cells' codes (≈ corpus · nprobe / n_centroids rows of m bytes each)
+    instead of the whole corpus (pq_adc_topk's one inherent weakness).
+
+    Index build is one scan-shaped narrow map: cell id (centroid literals,
+    no join) + m-byte PQ code per vector, full-precision vectors pruned
+    immediately. Queries build their m×ksub distance table once BELOW the
+    broadcast exchange (never re-expanded per candidate — the
+    projection-collapse trap), probe their nprobe nearest cells, and the
+    cell equi-join + table-lookup fold ranks candidates. Pass precomputed
+    ``centroids`` / ``codebooks`` / ``codes`` to reuse a persisted index
+    across query batches; exactness is recoverable by re-ranking the top
+    shortlist against true vectors (pq_rerank_topk's pattern)."""
+    cent = centroids or ivf_centroids(
+        corpus, n_centroids, n_iters, id_col, vec_col, seed_hash
+    )
+    books = codebooks or pq_codebooks(
+        corpus, m, ksub, n_iters, id_col, vec_col, seed_hash
+    )
+    dsub = len(books[0][0])
+    cd = codes
+    if cd is None:
+        cd = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.array_max(_centroid_scores(F.col(vec_col), cent))["cid"].alias(
+                "cid"
+            ),
+            F.array(
+                *[
+                    _pq_code_expr(F.col(vec_col), j, dsub, book)
+                    for j, book in enumerate(books)
+                ]
+            ).alias("code"),
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.array(
+            *[
+                F.array(
+                    *[
+                        _sub_sq_l2(
+                            F.slice(F.col(vec_col), j * dsub + 1, dsub), c
+                        )
+                        for c in book
+                    ]
+                )
+                for j, book in enumerate(books)
+            ]
+        ).alias("dtab"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(_centroid_scores(F.col(vec_col), cent))
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cid"],
+            )
+        ).alias("cid"),
+    )
+    adist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("dtab"),
+                F.col("code"),
+                lambda t, c: F.element_at(t, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return (
+        cd.join(F.broadcast(q), on="cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adist.alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -26,10 +26,14 @@ def con():
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+ALL_QUERIES = {**entry_mod.queries(), **entry_mod.extra_queries()}
+ALL_ORACLES = {**entry_mod.oracle_sql(), **entry_mod.extra_oracle_sql()}
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES.keys()))
 def test_query_matches_oracle(spark, con, name):
-    q = entry_mod.queries()[name]
-    sql = entry_mod.oracle_sql().get(name)
+    q = ALL_QUERIES[name]
+    sql = ALL_ORACLES.get(name)
     if sql is None:
         df = q(spark, SF_DIR)
         assert df.count() >= 0  # rows-only check (non-SQL-expressible op)

@@ -339,3 +339,89 @@ def test_escaping_invariants_adversarial_corpus(spark):
         for content in re.findall(r"<t:v>(.*?)</t:v>", line):
             assert "<" not in content and ">" not in content
             assert not re.search(r"&(?!(amp|lt|gt|quot|#10|#13);)", content)
+
+
+def test_rdfxml_abbrev_typed_node_and_parsetype_resource(spark):
+    """True ABBREV output (Rdf11.java:82-83 RDF/XML-ABBREV): rdf:type folds
+    into the element name (typed node element), nested blank-node
+    substructures elide their rdf:Description via rdf:parseType="Resource",
+    and an all-null substructure drops entirely (ActionIfNull=IGNORE parity
+    with construct.py's recursive children)."""
+    import xml.etree.ElementTree as ET
+
+    from kettle_jena_plugins_spark.operators.serialize import (
+        rdfxml_abbrev_rows,
+    )
+
+    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    d = df(spark, [("s1", "hello", 1), ("s2", None, 2)])
+    out = rdfxml_abbrev_rows(
+        d,
+        subject_col="subject",
+        type_uri=f"{NS}Thing",
+        statements={
+            f"{NS}v": StatementSpec("v"),
+            f"{NS}meta": {
+                # both children source the same nullable column: for s2 the
+                # whole t:meta substructure must drop
+                f"{NS}lbl": StatementSpec("v", lang="en"),
+                f"{NS}inner": {f"{NS}n2": StatementSpec("v")},
+            },
+            f"{NS}prov": {f"{NS}n": StatementSpec("n", datatype="integer")},
+        },
+        namespaces={"t": NS},
+    )
+    xml = "\n".join(r["value"] for r in out.collect())
+    root = ET.fromstring(xml)
+
+    nodes = {n.attrib[f"{{{RDF_NS}}}about"]: n for n in root}
+    assert set(nodes) == {"s1", "s2"}
+    # typed node element: element NAME carries the type, no rdf:type child
+    for n in nodes.values():
+        assert n.tag == f"{{{NS}}}Thing"
+        assert not any(c.tag == f"{{{RDF_NS}}}type" for c in n)
+
+    s1 = nodes["s1"]
+    props = {c.tag: c for c in s1}
+    assert props[f"{{{NS}}}v"].text == "hello"
+    meta = props[f"{{{NS}}}meta"]
+    # parseType="Resource" elision: no inner rdf:Description element
+    assert meta.attrib[f"{{{RDF_NS}}}parseType"] == "Resource"
+    assert not any(c.tag == f"{{{RDF_NS}}}Description" for c in meta)
+    lbl = meta.find(f"{{{NS}}}lbl")
+    assert lbl.text == "hello"
+    assert lbl.attrib["{http://www.w3.org/XML/1998/namespace}lang"] == "en"
+    inner = meta.find(f"{{{NS}}}inner")
+    assert inner.attrib[f"{{{RDF_NS}}}parseType"] == "Resource"
+    assert inner.find(f"{{{NS}}}n2").text == "hello"
+    prov = props[f"{{{NS}}}prov"]
+    assert prov.find(f"{{{NS}}}n").text == "1"
+    assert prov.find(f"{{{NS}}}n").attrib[
+        f"{{{RDF_NS}}}datatype"
+    ].endswith("integer")
+
+    # s2: v is null -> t:v absent AND the whole t:meta subtree dropped,
+    # while t:prov (non-null n) survives
+    s2_tags = {c.tag for c in nodes["s2"]}
+    assert s2_tags == {f"{{{NS}}}prov"}
+
+
+def test_serialize_docs_rdfxml_abbrev_writes_distinct_layout(spark, tmp_path):
+    """fmt="rdfxml-abbrev" through serialize_docs now routes to the
+    abbreviated writer — same envelope, one part-file, parses clean."""
+    import xml.etree.ElementTree as ET
+
+    d = df(spark, [("s1", "x", 1)])
+    path = str(tmp_path / "out.rdf")
+    serialize_docs(
+        d,
+        path,
+        fmt="rdfxml-abbrev",
+        statements={f"{NS}meta": {f"{NS}v": StatementSpec("v")}},
+        namespaces={"t": NS},
+    )
+    (part,) = glob.glob(f"{path}/part-*")
+    root = ET.parse(part).getroot()
+    meta = root[0][0]
+    assert meta.tag == f"{{{NS}}}meta"
+    assert "parseType" in list(meta.attrib)[0]

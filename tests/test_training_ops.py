@@ -655,3 +655,67 @@ def test_knn_label_eval_on_clustered_labels(spark):
         assert r["correct"] is True
         assert r["pred_label"] == r["true_label"]
         assert 1 <= r["n_votes"] <= 5
+
+
+def test_ivfpq_recall_on_clustered_vectors(spark):
+    """On clustered data (the realistic embedding shape — pure-random
+    vectors are PQ's worst case) the IVF-gated ADC top-k must recover true
+    cluster-mates at the same bar as the ungated ADC scan, while reading
+    only nprobe cells per query."""
+    import random as pyrandom
+
+    from kettle_jena_plugins_spark.operators.similarity import ivfpq_topk
+
+    rng = pyrandom.Random(7)
+    dim, n_clusters, per = 64, 8, 15
+    centers = [
+        [rng.gauss(0, 1.0) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n_clusters * per):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.08) for x in c]))
+    em = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+    q = em.filter(F.col("vec_id") < 8)  # one query per cluster
+    got = ivfpq_topk(
+        em, q, k=10, n_centroids=8, nprobe=2, m=8, ksub=8, n_iters=1
+    ).collect()
+    em.unpersist()
+    hits = sum(
+        1
+        for r in got
+        if r["neighbor_id"] % n_clusters == r["query_id"] % n_clusters
+    )
+    # 10 per query x 8 queries through a 2-of-8-cell gate: >=80% must be
+    # true cluster-mates (matching the ungated ADC bar)
+    assert hits / len(got) >= 0.8, hits / len(got)
+
+
+def test_ivfpq_equals_ungated_adc_when_probing_every_cell(spark):
+    """Gating invariant: with nprobe == n_centroids the IVF gate admits the
+    whole corpus, so IVF-PQ must reproduce pq_adc_topk exactly (same
+    codebooks, same ADC distances, same ranking)."""
+    from kettle_jena_plugins_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    em = embeds(spark).cache()
+    q = em.filter(F.col("vec_id") % 20 == 0)
+    books = pq_codebooks(em, m=8, ksub=8, n_iters=0, seed_hash="md5")
+    ungated = {
+        (r["query_id"], r["neighbor_id"], r["adist"], r["rank"])
+        for r in pq_adc_topk(em, q, books, k=5).collect()
+    }
+    gated = {
+        (r["query_id"], r["neighbor_id"], r["adist"], r["rank"])
+        for r in ivfpq_topk(
+            em, q, k=5, n_centroids=4, nprobe=4, codebooks=books,
+            seed_hash="md5",
+        ).collect()
+    }
+    em.unpersist()
+    assert gated == ungated
