@@ -463,17 +463,21 @@ def q_validate_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SHAPES_TTL = """
-@prefix t:  <http://example.org/transcript#> .
-@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix t:   <http://example.org/transcript#> .
+@prefix sh:  <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
 
 t:TurnShape
     a sh:NodeShape ;
     sh:targetClass t:Turn ;
     sh:property [ sh:path t:text ; sh:minCount 1 ; ] ;
     sh:property [ sh:path ( t:meta t:prov t:lsn ) ;
-                  sh:minCount 1 ; sh:maxCount 1 ; ] ;
+                  sh:minCount 1 ; sh:maxCount 1 ;
+                  sh:datatype xsd:integer ; ] ;
     sh:property [ sh:path [ sh:alternativePath ( t:text t:tool ) ] ;
                   sh:minCount 1 ; ] ;
+    sh:property [ sh:path t:role ; sh:pattern "^(user|assistant)$" ; ] ;
+    sh:property [ sh:path t:tool ; sh:datatype xsd:decimal ; ] ;
     sh:property [ sh:path t:meta ; sh:node t:MetaShape ; ] .
 
 t:MetaShape
@@ -505,6 +509,7 @@ def q_validate_shacl_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         mappings=[
             PropertyMapping("text", "t:text"),
             PropertyMapping("tool", "t:tool"),
+            PropertyMapping("role", "t:role"),
             PropertyMapping(
                 None,
                 "t:meta",
@@ -3313,6 +3318,18 @@ SELECT reason, n FROM (
     UNION ALL
     SELECT 'any_of:doc.t_text|doc.t_tool', COUNT(*)
     FROM changes WHERE text IS NULL AND tool IS NULL
+    UNION ALL
+    SELECT 'pattern:doc.t_role', COUNT(*)
+    FROM changes WHERE role IS NOT NULL
+      AND NOT regexp_matches(role, '^(user|assistant)$')
+    UNION ALL
+    SELECT 'datatype:doc.t_tool', COUNT(*)
+    FROM changes WHERE tool IS NOT NULL
+      AND NOT regexp_matches(tool, '^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)$')
+    UNION ALL
+    SELECT 'datatype:doc.t_meta.t_prov.t_lsn', COUNT(*)
+    FROM changes WHERE lsn IS NOT NULL
+      AND NOT regexp_matches(CAST(lsn AS VARCHAR), '^[+-]?[0-9]+$')
 ) WHERE n > 0
 """,
 }

@@ -405,25 +405,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        new_label = F.least(
+            labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])
+        )
+        # convergence flag folded into the label projection: the old
+        # formulation re-JOINED new vs old labels per round just to count
+        # diffs (a second shuffle job per round); carrying `chg` through
+        # the same checkpoint makes convergence detection a narrow scan of
+        # the just-materialized blocks.
         new_labels = (
             labels.join(nbr, labels["node"] == nbr["src"], "left")
             .select(
                 labels["node"],
-                F.least(
-                    labels["label"],
-                    F.coalesce(nbr["nbr_min"], labels["label"]),
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != labels["label"]).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = bool(new_labels.agg(F.max("chg")).first()[0])
+        labels = new_labels.drop("chg")
+        if not changed:
             break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

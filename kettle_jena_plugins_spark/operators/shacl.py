@@ -17,6 +17,11 @@ subset those shapes exercise —
     inlined UNDER the property's path as null-safe SQL constraints
     (fires only when the parent value exists — SHACL conformance is
     vacuous for absent nodes)
+  - ``sh:datatype <xsd:T>`` → a lexical-space check on the value's string
+    form (reason ``datatype:<path>``); the supported XSD lexical spaces
+    are the ones typed_literals converts
+  - ``sh:pattern "re"`` (+ ``sh:flags "i"``) → an anchored-as-written
+    regex check (reason ``pattern:<path>``)
 
 compiled onto columns named by the same alias rule the construct operator
 uses (``prefix:local`` → ``prefix_local``), so a shapes file written
@@ -26,20 +31,73 @@ against a constructed document validates it directly:
     spec = ValidationSpec(shapes=shapes, any_of=any_of,
                           constraints=constraints, ...)
 
-Out-of-scope SHACL vocabulary (sh:class, sh:datatype, sh:nodeKind,
-sh:pattern …) is ignored, not an error — the reference's Jena delegates to
-a full SHACL engine; this engine validates the constraint kinds its rows
-can express (presence/cardinality/alternatives over nested columns).
+Remaining out-of-scope vocabulary (sh:class, sh:nodeKind, sh:or, …) is
+NOT silently dropped: each occurrence raises a ``ShaclUnsupportedWarning``
+(or ValueError with ``strict=True``) — the reference's Jena delegates to a
+full SHACL engine (JenaShaclStep.java:94-108), so a shapes file using
+vocabulary this subset cannot enforce must be visible to the operator.
 """
 
 from __future__ import annotations
 
 import re
+import warnings
 
 from .validate import PathShape
 
 SH = "http://www.w3.org/ns/shacl#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+class ShaclUnsupportedWarning(UserWarning):
+    """A shapes file used SHACL vocabulary this subset cannot enforce."""
+
+
+# XSD lexical spaces as anchored regexes (backslash-free: the expressions
+# travel through Spark SQL string literals where backslashes are escape
+# characters). '' = every string conforms (no check emitted).
+_INT_RX = "^[+-]?[0-9]+$"
+_DEC_RX = "^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)$"
+_XSD_LEXICAL: dict[str, str] = {
+    XSD + "string": "",
+    XSD + "normalizedString": "",
+    XSD + "token": "",
+    XSD + "anyURI": "",
+    XSD + "integer": _INT_RX,
+    XSD + "long": _INT_RX,
+    XSD + "int": _INT_RX,
+    XSD + "short": _INT_RX,
+    XSD + "byte": _INT_RX,
+    XSD + "nonNegativeInteger": "^[+]?[0-9]+$",
+    XSD + "decimal": _DEC_RX,
+    XSD + "double": _DEC_RX + "|^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)[eE][+-]?[0-9]+$|^[+-]?INF$|^NaN$",
+    XSD + "float": _DEC_RX + "|^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)[eE][+-]?[0-9]+$|^[+-]?INF$|^NaN$",
+    XSD + "boolean": "^(true|false|0|1)$",
+    XSD + "dateTime": "^-?[0-9]{4,}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}([.][0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})?$",
+    XSD + "date": "^-?[0-9]{4,}-[0-9]{2}-[0-9]{2}(Z|[+-][0-9]{2}:[0-9]{2})?$",
+    XSD + "time": "^[0-9]{2}:[0-9]{2}:[0-9]{2}([.][0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})?$",
+    XSD + "gYear": "^-?[0-9]{4,}(Z|[+-][0-9]{2}:[0-9]{2})?$",
+    XSD + "language": "^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$",
+}
+
+# property-shape keys the compiler understands; anything else warns/raises
+_SUPPORTED_KEYS = frozenset(
+    SH + k
+    for k in (
+        "path",
+        "minCount",
+        "maxCount",
+        "node",
+        "datatype",
+        "pattern",
+        "flags",
+    )
+)
+# pure annotations (no validation semantics) — ignored without warning
+_ANNOTATION_KEYS = frozenset(
+    SH + k for k in ("message", "name", "description", "severity", "order", "group")
+)
 
 _TOKEN = re.compile(
     r"""
@@ -209,6 +267,7 @@ def shapes_from_ttl(
     ttl: str,
     root: str = "",
     path_map: dict[str, str] | None = None,
+    strict: bool = False,
 ) -> tuple[
     tuple[PathShape, ...],
     tuple[tuple[str, ...], ...],
@@ -217,9 +276,19 @@ def shapes_from_ttl(
     """Compile a shapes file → (shapes, any_of, constraints) for
     ValidationSpec. `root` prefixes every path (e.g. "doc" for shapes
     over a constructed document column); `path_map` overrides the
-    URI→segment rule per property URI."""
+    URI→segment rule per property URI. Unsupported SHACL vocabulary
+    raises ShaclUnsupportedWarning, or ValueError when ``strict``."""
     p = _Parser(_tokenize(ttl)).parse()
     path_map = path_map or {}
+
+    def unsupported(what: str, where: str) -> None:
+        msg = (
+            f"SHACL subset cannot enforce {what} (at {where}); the shape "
+            "is NOT validated — the reference's full Jena engine would be"
+        )
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, ShaclUnsupportedWarning, stacklevel=3)
 
     def seg(uri: str) -> str:
         return path_map.get(uri, _local_segment(uri, p.prefixes))
@@ -246,12 +315,56 @@ def shapes_from_ttl(
                 out.append(seg(path))
         return out
 
+    def lexical_checks(prop: dict, dotted: str) -> None:
+        """sh:datatype / sh:pattern → (reason, SQL predicate) constraints
+        over the value's string form; fire only when the value exists
+        (SHACL conformance is vacuous for absent values)."""
+        datatype = prop.get(SH + "datatype", [None])[0]
+        pattern = prop.get(SH + "pattern", [None])[0]
+        flags = prop.get(SH + "flags", [None])[0]
+        if isinstance(datatype, str):
+            rx = _XSD_LEXICAL.get(datatype)
+            if rx is None:
+                unsupported(f"sh:datatype <{datatype}>", dotted)
+            elif rx:
+                constraints.append(
+                    (
+                        f"datatype:{dotted}",
+                        f"{dotted} IS NOT NULL AND NOT "
+                        f"(CAST({dotted} AS STRING) RLIKE '{rx}')",
+                    )
+                )
+        if isinstance(pattern, str):
+            if flags and flags not in ("i",):
+                unsupported(f"sh:flags {flags!r}", dotted)
+            rx = ("(?i)" if flags == "i" else "") + pattern
+            rx = rx.replace("'", "''")
+            constraints.append(
+                (
+                    f"pattern:{dotted}",
+                    f"{dotted} IS NOT NULL AND NOT "
+                    f"(CAST({dotted} AS STRING) RLIKE '{rx}')",
+                )
+            )
+
     def emit(prop: dict) -> None:
         path = prop.get(SH + "path", [None])[0]
         min_c = prop.get(SH + "minCount", [None])[0]
         max_c = prop.get(SH + "maxCount", [None])[0]
         node_ref = prop.get(SH + "node", [None])[0]
+        for key in prop:
+            if (
+                key.startswith(SH)
+                and key not in _SUPPORTED_KEYS
+                and key not in _ANNOTATION_KEYS
+            ):
+                unsupported(key.replace(SH, "sh:"), str(path))
         if isinstance(path, dict) and SH + "alternativePath" in path:
+            if SH + "datatype" in prop or SH + "pattern" in prop:
+                unsupported(
+                    "sh:datatype/sh:pattern over sh:alternativePath",
+                    str(path),
+                )
             alts = [seg(u) for u in path[SH + "alternativePath"][0]]
             if min_c and min_c >= 1:
                 any_of.append(tuple(_join(root, [a]) for a in alts))
@@ -281,6 +394,7 @@ def shapes_from_ttl(
             shapes.append(
                 PathShape(dotted, min_count=min_c or 0, max_count=max_c)
             )
+        lexical_checks(prop, dotted)
         if node_ref:
             for child in required_children(node_ref):
                 constraints.append(

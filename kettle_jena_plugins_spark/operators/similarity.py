@@ -449,25 +449,62 @@ def ivf_centroids(
         .collect()
     )
     cent = [[float(x) for x in r["v"]] for r in seeds]
-    for _ in range(n_iters):
-        assigned = corpus.select(
-            F.array_max(_centroid_scores(F.col(vec_col), cent))["cid"].alias(
-                "cid"
-            ),
-            F.col(vec_col).alias("v"),
-        )
-        means = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
-            )
-            .collect()
-        )
-        for r in means:
-            cent[r["cid"]] = [float(p["m"]) for p in r["pm"]]
+    if n_iters <= 0:
+        return cent
+    # Lloyd refinement, numpy-vectorized (VERDICT r3: the Catalyst-HOF
+    # assignment costs ~70µs/pair and won't survive 100×): each iteration
+    # is ONE mapInPandas pass doing a batch matmul assignment + per-batch
+    # partial (sum, count) per cell — k·P tiny partial rows reach the
+    # driver, never vectors. The corpus projection is cached across
+    # iterations. Means are parallelism-stable to FP-addition rounding
+    # (partial-sum order follows partitioning); seeds are exactly stable.
+    import numpy as np
+    import pandas as pd
+
+    vecs = corpus.select(F.col(vec_col).alias("v")).cache()
+    try:
+        for _ in range(n_iters):
+            C = np.asarray(cent, dtype=np.float64)  # (k, dim)
+            Cn = np.linalg.norm(C, axis=1)
+            Cn[Cn == 0.0] = 1.0
+            k, dim = C.shape
+
+            def partials(it, C=C, Cn=Cn, k=k, dim=dim):
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                    Vn = np.linalg.norm(V, axis=1, keepdims=True)
+                    Vn[Vn == 0.0] = 1.0
+                    sims = (V @ C.T) / (Vn * Cn)
+                    # ties to the LARGEST cid (array_max over struct<s,cid>
+                    # parity with the HOF formulation)
+                    cid = k - 1 - np.argmax(sims[:, ::-1], axis=1)
+                    sums = np.zeros((k, dim))
+                    np.add.at(sums, cid, V)
+                    cnt = np.bincount(cid, minlength=k)
+                    nz = np.flatnonzero(cnt)
+                    yield pd.DataFrame(
+                        {
+                            "cid": nz.astype("int32"),
+                            "cnt": cnt[nz].astype("int64"),
+                            "s": list(sums[nz]),
+                        }
+                    )
+
+            rows = vecs.mapInPandas(
+                partials, schema="cid int, cnt long, s array<double>"
+            ).collect()
+            sums = np.zeros((k, dim))
+            cnts = np.zeros(k, dtype=np.int64)
+            for r in rows:
+                sums[r["cid"]] += np.asarray(r["s"])
+                cnts[r["cid"]] += r["cnt"]
+            for c in range(k):
+                if cnts[c]:
+                    cent[c] = [float(x) for x in sums[c] / cnts[c]]
+    finally:
+        vecs.unpersist()
     return cent
 
 
@@ -791,33 +828,70 @@ def pq_codebooks(
         ]
         for j in range(m)
     ]
-    for _ in range(n_iters):
-        coded = corpus.select(
-            F.posexplode(
-                F.array(
-                    *[
-                        F.struct(
-                            _pq_code_expr(F.col(vec_col), j, dsub, books[j])
-                            .alias("cid"),
-                            F.slice(F.col(vec_col), j * dsub + 1, dsub)
-                            .alias("sub"),
+    if n_iters <= 0:
+        return books
+    # Lloyd refinement, numpy-vectorized (same rationale as ivf_centroids:
+    # the Catalyst-HOF encode + double posexplode won't survive 100×): one
+    # mapInPandas pass per iteration computes every subspace's assignment
+    # as a batch distance matrix and emits per-batch partial (sum, count)
+    # per (subspace, sub-centroid) — m·ksub·P tiny rows to the driver.
+    import numpy as np
+    import pandas as pd
+
+    vecs = corpus.select(F.col(vec_col).alias("v")).cache()
+    try:
+        for _ in range(n_iters):
+            B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
+
+            def partials(it, B=B, m=m, ksub=ksub, dsub=dsub):
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                    out_j, out_c, out_n, out_s = [], [], [], []
+                    for j in range(m):
+                        S = V[:, j * dsub : (j + 1) * dsub]  # (n, dsub)
+                        # ||s - c||² for all sub-centroids; argmin ties to
+                        # the SMALLEST c (array_min struct<d,c> parity)
+                        d2 = (
+                            (S * S).sum(1)[:, None]
+                            - 2.0 * S @ B[j].T
+                            + (B[j] * B[j]).sum(1)[None, :]
                         )
-                        for j in range(m)
-                    ]
-                )
-            ).alias("j", "sc")
-        )
-        means = (
-            coded.select("j", F.col("sc.cid").alias("cid"),
-                         F.posexplode("sc.sub").alias("pos", "x"))
-            .groupBy("j", "cid", "pos")
-            .agg(F.avg("x").alias("mval"))
-            .groupBy("j", "cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
-            .collect()
-        )
-        for r in means:
-            books[r["j"]][r["cid"]] = [float(p["mval"]) for p in r["pm"]]
+                        cid = np.argmin(d2, axis=1)
+                        sums = np.zeros((ksub, dsub))
+                        np.add.at(sums, cid, S)
+                        cnt = np.bincount(cid, minlength=ksub)
+                        nz = np.flatnonzero(cnt)
+                        out_j.append(np.full(len(nz), j, dtype="int32"))
+                        out_c.append(nz.astype("int32"))
+                        out_n.append(cnt[nz].astype("int64"))
+                        out_s.extend(list(sums[nz]))
+                    yield pd.DataFrame(
+                        {
+                            "j": np.concatenate(out_j),
+                            "c": np.concatenate(out_c),
+                            "cnt": np.concatenate(out_n),
+                            "s": out_s,
+                        }
+                    )
+
+            rows = vecs.mapInPandas(
+                partials, schema="j int, c int, cnt long, s array<double>"
+            ).collect()
+            sums = np.zeros((m, ksub, dsub))
+            cnts = np.zeros((m, ksub), dtype=np.int64)
+            for r in rows:
+                sums[r["j"], r["c"]] += np.asarray(r["s"])
+                cnts[r["j"], r["c"]] += r["cnt"]
+            for j in range(m):
+                for c in range(ksub):
+                    if cnts[j, c]:
+                        books[j][c] = [
+                            float(x) for x in sums[j, c] / cnts[j, c]
+                        ]
+    finally:
+        vecs.unpersist()
     return books
 
 

@@ -97,7 +97,14 @@ def apply_batch(
             if cfg.input_partitions == "auto"
             else int(cfg.input_partitions)
         )
-        if events.rdd.getNumPartitions() < target_p:
+        try:
+            # JVM-side partition probe: df.rdd would build the full
+            # Python-conversion RDD (serializer plan + pickling setup)
+            # just to read a count — measurable at high batch rates
+            n_parts = events._jdf.queryExecution().toRdd().getNumPartitions()
+        except Exception:  # pragma: no cover - internal-API fallback
+            n_parts = events.rdd.getNumPartitions()
+        if n_parts < target_p:
             events = events.repartition(target_p)
 
     # 1. validation split (SHACL analogue): bad rows → dead letter

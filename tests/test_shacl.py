@@ -178,3 +178,68 @@ def test_shapes_ttl_validates_constructed_docs(spark):
     assert not any("t_prov" in k for k in stats)
     # bad_op/null checks disabled via spec; only shape reasons remain
     assert set(stats) == {"min_count:doc.t_text", "node:doc.t_meta.t_tool"}
+
+
+def test_datatype_and_pattern_compile_and_fire(spark):
+    """sh:datatype / sh:pattern (JenaShaclStep.java:94-108 — Jena enforces
+    the full vocabulary; this subset now covers the one-column lexical
+    members): conforming values pass, non-conforming fire the
+    datatype:/pattern: reasons; sh:flags "i" folds case."""
+    ttl = """
+    @prefix ex:  <http://example.org/x#> .
+    @prefix sh:  <http://www.w3.org/ns/shacl#> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:n ; sh:datatype xsd:integer ; ] ;
+        sh:property [ sh:path ex:role ; sh:pattern "^(user|bot)$" ;
+                      sh:flags "i" ; ] .
+    """
+    shapes, any_of, constraints = shapes_from_ttl(ttl)
+    assert shapes == () and any_of == ()
+    reasons = {r for r, _ in constraints}
+    assert reasons == {"datatype:ex_n", "pattern:ex_role"}
+
+    df = spark.createDataFrame(
+        [("1", "user"), ("x", "USER"), ("-42", "admin"), (None, None)],
+        "ex_n string, ex_role string",
+    )
+    spec = ValidationSpec(
+        require_keys=(), require_ts=False, constraints=constraints
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(df, spec).collect()
+    }
+    # "x" fails integer; "admin" fails the (case-folded) pattern; nulls
+    # are vacuous on both
+    assert stats == {"datatype:ex_n": 1, "pattern:ex_role": 1}
+
+
+def test_unsupported_vocabulary_is_loud():
+    import pytest as _pytest
+
+    from kettle_jena_plugins_spark.operators.shacl import (
+        ShaclUnsupportedWarning,
+    )
+
+    ttl = """
+    @prefix ex: <http://example.org/x#> .
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:p ; sh:class ex:C ; sh:minCount 1 ;
+                      sh:message "annotation only, no warning" ; ] .
+    """
+    with _pytest.warns(ShaclUnsupportedWarning, match="sh:class"):
+        shapes, _, _ = shapes_from_ttl(ttl)
+    # the enforceable part (minCount) still compiles
+    assert [s.path for s in shapes] == ["ex_p"]
+    with _pytest.raises(ValueError, match="sh:class"):
+        shapes_from_ttl(ttl, strict=True)
+    # unknown datatype lexical space warns too
+    ttl2 = """
+    @prefix ex: <http://example.org/x#> .
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:p ; sh:datatype ex:weird ; ] .
+    """
+    with _pytest.warns(ShaclUnsupportedWarning, match="sh:datatype"):
+        shapes_from_ttl(ttl2)

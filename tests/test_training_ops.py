@@ -719,3 +719,45 @@ def test_ivfpq_equals_ungated_adc_when_probing_every_cell(spark):
     }
     em.unpersist()
     assert gated == ungated
+
+
+def test_connected_components_diameter_worst_case(spark):
+    """Diameter-shaped worst case: one long path (min label travels one
+    hop per round — the slowest shape min-propagation admits) plus an
+    island; every node must still land on the path's minimum."""
+    from kettle_jena_plugins_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 40  # diameter 39 < max_iter=50
+    path = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(
+        path + [(1000, 1001)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert all(got[i] == 0 for i in range(n))
+    assert got[1000] == got[1001] == 1000
+
+
+def test_lloyd_refinement_avoids_catalyst_hof(spark, monkeypatch):
+    """VERDICT-r3 item 5 contract: the Lloyd-refined path must score
+    assignments in numpy (mapInPandas), never through the per-element
+    Catalyst higher-order expressions (~70µs/pair) — monkeypatching the
+    HOF builders to explode proves they are no longer on the refined
+    path."""
+    import kettle_jena_plugins_spark.operators.similarity as sim
+
+    def boom(*a, **k):
+        raise AssertionError("Catalyst HOF scoring used in refined path")
+
+    monkeypatch.setattr(sim, "_centroid_scores", boom)
+    cent = sim.ivf_centroids(embeds(spark), n_centroids=4, n_iters=2)
+    assert len(cent) == 4 and len(cent[0]) == 64
+
+    monkeypatch.setattr(sim, "_pq_code_expr", boom)
+    monkeypatch.setattr(sim, "_sub_sq_l2", boom)
+    books = sim.pq_codebooks(embeds(spark), m=8, ksub=4, n_iters=2)
+    assert len(books) == 8 and len(books[0]) == 4
