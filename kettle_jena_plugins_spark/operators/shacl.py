@@ -22,6 +22,11 @@ subset those shapes exercise —
     are the ones typed_literals converts
   - ``sh:pattern "re"`` (+ ``sh:flags "i"``) → an anchored-as-written
     regex check (reason ``pattern:<path>``)
+  - ``sh:minLength`` / ``sh:maxLength`` → string-length band
+  - ``sh:minInclusive`` / ``sh:maxInclusive`` / ``sh:minExclusive`` /
+    ``sh:maxExclusive`` → numeric range (double comparison)
+  - ``sh:in ( v... )`` → enumeration membership; ``sh:hasValue v`` →
+    required value (fires on absence, per SHACL)
 
 compiled onto columns named by the same alias rule the construct operator
 uses (``prefix:local`` → ``prefix_local``), so a shapes file written
@@ -92,6 +97,14 @@ _SUPPORTED_KEYS = frozenset(
         "datatype",
         "pattern",
         "flags",
+        "minLength",
+        "maxLength",
+        "minInclusive",
+        "maxInclusive",
+        "minExclusive",
+        "maxExclusive",
+        "in",
+        "hasValue",
     )
 )
 # pure annotations (no validation semantics) — ignored without warning
@@ -238,6 +251,8 @@ class _Parser:
         t = self._next()
         if re.fullmatch(r"-?\d+", t):
             return int(t)
+        if re.fullmatch(r"-?\d+\.\d+", t):
+            return float(t)
         if t.startswith('"'):
             return t[1:-1]
         return self._expand(t)
@@ -248,6 +263,12 @@ def dict_of(pairs: list[tuple[str, object]]) -> dict:
     for k, v in pairs:
         d.setdefault(k, []).append(v)
     return d
+
+
+def _sql_str(v) -> str:
+    """A value as a single-quoted SQL string literal (values compare on
+    their string form — int 1 and column value 1 both render '1')."""
+    return "'" + str(v).replace("'", "''") + "'"
 
 
 def _local_segment(uri: str, prefixes: dict[str, str]) -> str:
@@ -344,6 +365,66 @@ def shapes_from_ttl(
                     f"pattern:{dotted}",
                     f"{dotted} IS NOT NULL AND NOT "
                     f"(CAST({dotted} AS STRING) RLIKE '{rx}')",
+                )
+            )
+        # string-length band (sh:minLength / sh:maxLength)
+        min_len = prop.get(SH + "minLength", [None])[0]
+        max_len = prop.get(SH + "maxLength", [None])[0]
+        if isinstance(min_len, int):
+            constraints.append(
+                (
+                    f"min_length:{dotted}",
+                    f"{dotted} IS NOT NULL AND "
+                    f"length(CAST({dotted} AS STRING)) < {min_len}",
+                )
+            )
+        if isinstance(max_len, int):
+            constraints.append(
+                (
+                    f"max_length:{dotted}",
+                    f"{dotted} IS NOT NULL AND "
+                    f"length(CAST({dotted} AS STRING)) > {max_len}",
+                )
+            )
+        # numeric range (sh:min/maxInclusive, sh:min/maxExclusive) — the
+        # value is compared in double; a non-castable value is vacuous
+        # here (pair with sh:datatype to also enforce the lexical space)
+        for key, op_, name in (
+            ("minInclusive", "<", "min_inclusive"),
+            ("maxInclusive", ">", "max_inclusive"),
+            ("minExclusive", "<=", "min_exclusive"),
+            ("maxExclusive", ">=", "max_exclusive"),
+        ):
+            v = prop.get(SH + key, [None])[0]
+            if isinstance(v, (int, float)):
+                constraints.append(
+                    (
+                        f"{name}:{dotted}",
+                        f"{dotted} IS NOT NULL AND "
+                        f"CAST({dotted} AS DOUBLE) {op_} {v}",
+                    )
+                )
+        # enumeration (sh:in) and required value (sh:hasValue) — compared
+        # on the string form of the value, matching SHACL's literal-equal
+        # semantics for the plain-literal columns this engine carries.
+        # hasValue deliberately fires on NULL: the value must be PRESENT.
+        in_list = prop.get(SH + "in", [None])[0]
+        if isinstance(in_list, list) and in_list:
+            vals = ", ".join(_sql_str(x) for x in in_list)
+            constraints.append(
+                (
+                    f"in:{dotted}",
+                    f"{dotted} IS NOT NULL AND "
+                    f"CAST({dotted} AS STRING) NOT IN ({vals})",
+                )
+            )
+        has_value = prop.get(SH + "hasValue", [None])[0]
+        if has_value is not None:
+            constraints.append(
+                (
+                    f"has_value:{dotted}",
+                    f"{dotted} IS NULL OR "
+                    f"CAST({dotted} AS STRING) <> {_sql_str(has_value)}",
                 )
             )
 

@@ -1104,6 +1104,243 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 8,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+    seed_hash: str = "xxhash64",
+) -> DataFrame:
+    """The complete 100-TB ANN pipeline: IVF-gated ADC produces a
+    ``shortlist`` per query from nprobe cells' m-byte codes, then ONLY
+    shortlist·|queries| rows re-join their full-precision vectors for an
+    exact squared-L2 re-rank (broadcast on the tiny query side). Composes
+    ivfpq_topk's gated scan with pq_rerank_topk's re-rank stage: the
+    vector column is read for the shortlist rows, never the corpus."""
+    cand = ivfpq_topk(
+        corpus,
+        queries,
+        k=shortlist,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        m=m,
+        ksub=ksub,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        codebooks=codebooks,
+        codes=codes,
+        seed_hash=seed_hash,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(d2, 4).alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 8,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_hash: str = "xxhash64",
+) -> None:
+    """Persist the IVF-PQ index that ``ann_index_topk`` probes —
+    the build-once/probe-often lifecycle a per-ingest retrieval gate
+    needs at 100 TB (mirrors dedup.build_dedup_index):
+
+      * ``{path}/codes`` — (vec_id, code) parquet PARTITIONED BY cid, so
+        a probe restricted to nprobe cells prunes files at the scan;
+      * ``{path}/meta.json`` — centroids, codebooks and build params, so
+        probes and appends encode with EXACTLY the quantizers the index
+        was built with (a silent mismatch would corrupt distances).
+
+    The build is one scan-shaped pass: Lloyd-refined quantizers (numpy
+    mapInPandas path), then a narrow cell-id+code projection writing m
+    bytes per vector."""
+    import json
+    import os
+
+    cent = ivf_centroids(
+        corpus, n_centroids, n_iters, id_col, vec_col, seed_hash
+    )
+    books = pq_codebooks(
+        corpus, m, ksub, n_iters, id_col, vec_col, seed_hash
+    )
+    dsub = len(books[0][0])
+    codes = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.array_max(_centroid_scores(F.col(vec_col), cent))["cid"].alias(
+            "cid"
+        ),
+        F.array(
+            *[
+                _pq_code_expr(F.col(vec_col), j, dsub, book)
+                for j, book in enumerate(books)
+            ]
+        ).alias("code"),
+    )
+    codes.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/codes")
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_centroids": n_centroids,
+                "m": m,
+                "ksub": ksub,
+                "centroids": cent,
+                "codebooks": books,
+            },
+            f,
+        )
+
+
+def append_to_ann_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new vectors into an existing ``build_ann_index`` layout: the
+    batch is encoded with the PERSISTED quantizers (meta.json) and
+    appended as new parquet files under its cells — O(batch) regardless
+    of index size, history never re-encoded. (Centroids/codebooks drift
+    as the corpus grows; rebuild on a cadence, not per batch.)"""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cent, books = meta["centroids"], meta["codebooks"]
+    dsub = len(books[0][0])
+    df.select(
+        F.col(id_col).alias("vec_id"),
+        F.array_max(_centroid_scores(F.col(vec_col), cent))["cid"].alias(
+            "cid"
+        ),
+        F.array(
+            *[
+                _pq_code_expr(F.col(vec_col), j, dsub, book)
+                for j, book in enumerate(books)
+            ]
+        ).alias("code"),
+    ).write.mode("append").partitionBy("cid").parquet(f"{path}/codes")
+
+
+def ann_index_topk(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: queries build their distance
+    tables and probe cells from the PERSISTED quantizers; the code scan
+    is statically pruned to the probed cells (the probe cid set is tiny —
+    ≤ |queries|·nprobe values — so collecting it buys parquet partition
+    pruning: only nprobe/n_centroids of the index files are read)."""
+    import json
+    import os
+
+    spark = queries.sparkSession
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cent, books = meta["centroids"], meta["codebooks"]
+    dsub = len(books[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.array(
+            *[
+                F.array(
+                    *[
+                        _sub_sq_l2(
+                            F.slice(F.col(vec_col), j * dsub + 1, dsub), c
+                        )
+                        for c in book
+                    ]
+                )
+                for j, book in enumerate(books)
+            ]
+        ).alias("dtab"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(_centroid_scores(F.col(vec_col), cent))
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cid"],
+            )
+        ).alias("cid"),
+    )
+    probed = [r["cid"] for r in q.select("cid").distinct().collect()]
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cid").isin(probed)
+    )
+    adist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("dtab"),
+                F.col("code"),
+                lambda t, c: F.element_at(t, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(q), on="cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adist.alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

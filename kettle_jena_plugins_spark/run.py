@@ -11,6 +11,9 @@ Commands:
            between two committed snapshots (incremental consumption)
   maintain --table DIR [--keep-last N]                     expire old snapshots
            and reclaim unreferenced data files
+  ann      {build|probe|append} --vectors PATH --index DIR
+           persisted IVF-PQ index lifecycle: build quantizers + cell-
+           partitioned m-byte codes once; probes prune to nprobe cells
   index    {build|probe|append} --docs PATH --index DIR
            persisted dedup index lifecycle (dedup-on-ingest): history is
            hashed once at build; each probe costs O(batch + candidates);
@@ -106,6 +109,20 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--index", required=True, help="index directory")
     ix.add_argument("--threshold", type=float, default=0.8)
     ix.add_argument("--limit", type=int, default=20)
+
+    ann = sub.add_parser("ann")
+    ann.add_argument("action", choices=("build", "probe", "append"))
+    ann.add_argument(
+        "--vectors", required=True, help="parquet of (vec_id, embedding)"
+    )
+    ann.add_argument("--index", required=True, help="index directory")
+    ann.add_argument("--k", type=int, default=5)
+    ann.add_argument("--nprobe", type=int, default=4)
+    ann.add_argument("--n-centroids", type=int, default=16)
+    ann.add_argument("--m", type=int, default=8)
+    ann.add_argument("--ksub", type=int, default=8)
+    ann.add_argument("--n-iters", type=int, default=1)
+    ann.add_argument("--limit", type=int, default=20)
 
     pf = sub.add_parser("profile")
     pf.add_argument("--wal", required=True, help="WAL parquet dir of change events")
@@ -244,6 +261,43 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(r.asDict(), default=str))
             print(json.dumps({
                 "duplicates": len(rows), "batch_docs": docs.count(),
+                "wall_sec": round(time.time() - t0, 2),
+            }))
+    elif args.cmd == "ann":
+        from .operators.similarity import (
+            ann_index_topk,
+            append_to_ann_index,
+            build_ann_index,
+        )
+
+        vecs = spark.read.parquet(args.vectors)
+        if args.action in ("build", "append"):
+            t0 = time.time()
+            if args.action == "build":
+                build_ann_index(
+                    vecs,
+                    args.index,
+                    n_centroids=args.n_centroids,
+                    m=args.m,
+                    ksub=args.ksub,
+                    n_iters=args.n_iters,
+                )
+            else:
+                append_to_ann_index(vecs, args.index)
+            print(json.dumps({
+                "index": args.index, "action": args.action,
+                "vectors": vecs.count(),
+                "wall_sec": round(time.time() - t0, 2),
+            }))
+        else:
+            t0 = time.time()
+            rows = ann_index_topk(
+                vecs, args.index, k=args.k, nprobe=args.nprobe
+            ).collect()
+            for r in rows[: args.limit]:
+                print(json.dumps(r.asDict(), default=str))
+            print(json.dumps({
+                "results": len(rows), "queries": vecs.count(),
                 "wall_sec": round(time.time() - t0, 2),
             }))
     elif args.cmd == "pipeline":

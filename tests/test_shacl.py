@@ -243,3 +243,52 @@ def test_unsupported_vocabulary_is_loud():
     """
     with _pytest.warns(ShaclUnsupportedWarning, match="sh:datatype"):
         shapes_from_ttl(ttl2)
+
+
+def test_length_range_in_hasvalue_constraints(spark):
+    """The one-column constraint kinds beyond datatype/pattern:
+    length band, numeric range, enumeration, required value — each fires
+    on exactly its violating rows; hasValue fires on absence."""
+    ttl = """
+    @prefix ex:  <http://example.org/x#> .
+    @prefix sh:  <http://www.w3.org/ns/shacl#> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:name ; sh:minLength 2 ; sh:maxLength 5 ; ] ;
+        sh:property [ sh:path ex:age ; sh:minInclusive 0 ;
+                      sh:maxExclusive 150.5 ; ] ;
+        sh:property [ sh:path ex:role ; sh:in ( "user" "bot" ) ; ] ;
+        sh:property [ sh:path ex:kind ; sh:hasValue "turn" ; ] .
+    """
+    shapes, any_of, constraints = shapes_from_ttl(ttl)
+    reasons = {r for r, _ in constraints}
+    assert reasons == {
+        "min_length:ex_name",
+        "max_length:ex_name",
+        "min_inclusive:ex_age",
+        "max_exclusive:ex_age",
+        "in:ex_role",
+        "has_value:ex_kind",
+    }
+    df = spark.createDataFrame(
+        [
+            ("ok", 30.0, "user", "turn"),    # clean
+            ("x", -1.0, "admin", "turn"),    # short name, neg age, bad role
+            ("toolong", 150.5, "bot", None), # long name, at excl bound, no kind
+            (None, None, None, "turn"),      # nulls vacuous except hasValue
+        ],
+        "ex_name string, ex_age double, ex_role string, ex_kind string",
+    )
+    spec = ValidationSpec(
+        require_keys=(), require_ts=False, constraints=constraints
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(df, spec).collect()
+    }
+    assert stats == {
+        "min_length:ex_name": 1,
+        "max_length:ex_name": 1,
+        "min_inclusive:ex_age": 1,
+        "max_exclusive:ex_age": 1,
+        "in:ex_role": 1,
+        "has_value:ex_kind": 1,  # row 3's absent kind — hasValue fires on NULL
+    }

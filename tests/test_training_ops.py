@@ -761,3 +761,100 @@ def test_lloyd_refinement_avoids_catalyst_hof(spark, monkeypatch):
     monkeypatch.setattr(sim, "_sub_sq_l2", boom)
     books = sim.pq_codebooks(embeds(spark), m=8, ksub=4, n_iters=2)
     assert len(books) == 8 and len(books[0]) == 4
+
+
+def test_ivfpq_rerank_recovers_exact_order(spark):
+    """Gated shortlist + exact re-rank: within the shortlist the ranking
+    must be exact squared-L2 (monotone d2 per query, true cluster-mates
+    first on clustered data)."""
+    import random as pyrandom
+
+    from kettle_jena_plugins_spark.operators.similarity import (
+        ivfpq_rerank_topk,
+    )
+
+    rng = pyrandom.Random(11)
+    dim, n_clusters, per = 64, 8, 15
+    centers = [
+        [rng.gauss(0, 1.0) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n_clusters * per):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.08) for x in c]))
+    em = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+    q = em.filter(F.col("vec_id") < 4)
+    got = ivfpq_rerank_topk(
+        em, q, k=5, shortlist=20, n_centroids=8, nprobe=2, n_iters=1
+    ).collect()
+    em.unpersist()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["d2"]))
+    for qid, lst in by_q.items():
+        lst.sort()
+        assert [r for r, _ in lst] == list(range(1, len(lst) + 1))
+        d2s = [d for _, d in lst]
+        assert d2s == sorted(d2s)  # exact distances, monotone in rank
+    hits = sum(
+        1
+        for r in got
+        if r["neighbor_id"] % n_clusters == r["query_id"] % n_clusters
+    )
+    assert hits / len(got) >= 0.8
+
+
+def test_ann_index_lifecycle_build_probe_append(spark, tmp_path):
+    """Persisted IVF-PQ index: build → probe must equal the in-memory
+    gated scan with the same quantizers; append folds new vectors in
+    without re-encoding history; the probe scan is pruned to the probed
+    cells."""
+    from kettle_jena_plugins_spark.operators.similarity import (
+        ann_index_topk,
+        append_to_ann_index,
+        build_ann_index,
+        ivfpq_topk,
+    )
+
+    em = embeds(spark).cache()
+    path = str(tmp_path / "annidx")
+    build_ann_index(
+        em, path, n_centroids=8, m=8, ksub=8, n_iters=0, seed_hash="md5"
+    )
+    q = em.filter(F.col("vec_id") % 20 == 0)
+    from_index = {
+        (r["query_id"], r["neighbor_id"], r["adist"], r["rank"])
+        for r in ann_index_topk(q, path, k=5, nprobe=4).collect()
+    }
+    in_memory = {
+        (r["query_id"], r["neighbor_id"], r["adist"], r["rank"])
+        for r in ivfpq_topk(
+            em, q, k=5, n_centroids=8, nprobe=4, n_iters=0, seed_hash="md5"
+        ).collect()
+    }
+    assert from_index == in_memory
+
+    # append: shifted copies of the first 3 vectors become new neighbors
+    new = em.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    append_to_ann_index(new, path)
+    after = ann_index_topk(q, path, k=5, nprobe=8).collect()
+    ids = {r["neighbor_id"] for r in after}
+    assert any(i >= 100000 for i in ids)  # appended rows are probe-visible
+
+    # cell pruning: the probed-cid filter reaches the scan
+    plan = (
+        ann_index_topk(q, path, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    em.unpersist()
+    # static partition pruning reaches the code scan (verified plan shape:
+    # `PartitionFilters: [cid#N IN (...)]` + ReadSchema without the
+    # full-precision vector column)
+    assert "PartitionFilters: [cid#" in plan and " IN (" in plan
+    assert "embedding" not in plan.split("FileScan parquet")[1][:400]
