@@ -349,7 +349,6 @@ def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 rows (O(keys touched), never O(table)), and return the maintained
     aggregate. Oracle = recompute-from-scratch in SQL — proving
     incremental(v1→v2) == recompute(v2) exactly."""
-    import shutil
     import tempfile
 
     from kettle_jena_plugins_spark.operators.rollup import (

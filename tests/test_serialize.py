@@ -425,3 +425,56 @@ def test_serialize_docs_rdfxml_abbrev_writes_distinct_layout(spark, tmp_path):
     meta = root[0][0]
     assert meta.tag == f"{{{NS}}}meta"
     assert "parseType" in list(meta.attrib)[0]
+
+
+def test_rdfxml_abbrev_escaping_adversarial_corpus(spark):
+    """The abbreviated writer shares the escaping invariants: adversarial
+    values (quotes, backslashes, control chars, XML metachars, unicode)
+    through typed node elements + nested parseType=Resource substructures
+    must yield single-line rows that parse as XML and round-trip every
+    non-null value exactly."""
+    import random
+    import xml.etree.ElementTree as ET
+
+    from kettle_jena_plugins_spark.operators.serialize import (
+        rdfxml_abbrev_rows,
+    )
+
+    rng = random.Random(13)
+    alphabet = list('abc"\\\n\r\t<>&\'é☃') + ["\\n", '""', "\\\\"]
+    rows = [
+        (
+            f"s{i}",
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(0, 12))
+            ),
+            i,
+        )
+        for i in range(200)
+    ]
+    d = df(spark, rows)
+    out = rdfxml_abbrev_rows(
+        d,
+        subject_col="subject",
+        type_uri=f"{NS}Thing",
+        statements={f"{NS}meta": {f"{NS}v": StatementSpec("v")}},
+        namespaces={"t": NS},
+    )
+    emitted = [r["value"] for r in out.collect()]
+    for line in emitted:
+        assert "\n" not in line and "\r" not in line
+    root = ET.fromstring("\n".join(emitted))  # parses as one document
+    got = {}
+    for node in root:
+        subj = node.attrib[
+            "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}about"
+        ]
+        meta = node.find(f"{{{NS}}}meta")
+        if meta is not None:
+            got[subj] = meta.find(f"{{{NS}}}v").text or ""
+    for subj, v, _ in rows:
+        if v is None:
+            assert subj not in got
+        else:
+            # numeric charrefs decode back to the raw newline/CR bytes
+            assert got.get(subj, "") == v, subj
