@@ -1049,11 +1049,18 @@ def q_embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_centroids,
         ivfpq_topk,
         pq_codebooks,
+        seed_rows,
     )
 
     em = _embeds(spark, sf_dir)
-    cent = ivf_centroids(em, n_centroids=8, n_iters=0, seed_hash="md5")
-    books = pq_codebooks(em, m=8, ksub=8, n_iters=0, seed_hash="md5")
+    # one seed scan feeds BOTH quantizers (identical md5 prefix ordering)
+    shared = seed_rows(em, 8, seed_hash="md5")
+    cent = ivf_centroids(
+        em, n_centroids=8, n_iters=0, seed_hash="md5", seeds=shared
+    )
+    books = pq_codebooks(
+        em, m=8, ksub=8, n_iters=0, seed_hash="md5", seeds=shared
+    )
     queries_df = em.filter(F.col("vec_id") % 25 == 0)
     return ivfpq_topk(
         em,

@@ -420,6 +420,31 @@ def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array(*scored)
 
 
+def seed_rows(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_hash: str = "xxhash64",
+) -> list:
+    """The k corpus rows with smallest hash(id) — the shared deterministic
+    seed set for ivf_centroids AND pq_codebooks (both select a prefix of
+    the same hash ordering, so one corpus scan seeds both quantizers:
+    collect max(n_centroids, ksub) rows once and pass the list in)."""
+    h = (
+        F.md5(F.col("i").cast("string").cast("binary"))
+        if seed_hash == "md5"
+        else F.xxhash64(F.col("i"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .withColumn("h", h)
+        .orderBy("h", "i")
+        .limit(k)
+        .collect()
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -427,6 +452,7 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_hash: str = "xxhash64",
+    seeds: list | None = None,
 ) -> list[list[float]]:
     """Deterministic IVF coarse quantizer: seeds = the n_centroids corpus
     vectors with smallest hash(id) (stable at any parallelism), refined
@@ -435,20 +461,16 @@ def ivf_centroids(
 
     seed_hash="md5" ranks seeds by the md5 hex of the id string — portable
     to engines without Spark's xxhash64 (the DuckDB oracle reproduces the
-    exact seed set this way); "xxhash64" is the cheaper default."""
-    h = (
-        F.md5(F.col("i").cast("string").cast("binary"))
-        if seed_hash == "md5"
-        else F.xxhash64(F.col("i"))
-    )
-    seeds = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .withColumn("h", h)
-        .orderBy("h", "i")
-        .limit(n_centroids)
-        .collect()
-    )
-    cent = [[float(x) for x in r["v"]] for r in seeds]
+    exact seed set this way); "xxhash64" is the cheaper default. Pass a
+    precollected ``seeds`` list (seed_rows) to share the seed scan with
+    pq_codebooks."""
+    if seeds is None:
+        seeds = seed_rows(corpus, n_centroids, id_col, vec_col, seed_hash)
+    if len(seeds) < n_centroids:
+        raise ValueError(
+            f"need {n_centroids} seed rows, got {len(seeds)}"
+        )
+    cent = [[float(x) for x in r["v"]] for r in seeds[:n_centroids]]
     if n_iters <= 0:
         return cent
     # Lloyd refinement, numpy-vectorized (VERDICT r3: the Catalyst-HOF
@@ -790,6 +812,7 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_hash: str = "md5",
+    seeds: list | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic product-quantization codebooks: the vector space is
     split into ``m`` contiguous subspaces; each subspace gets ``ksub``
@@ -804,19 +827,14 @@ def pq_codebooks(
     cost is independent of m beyond the agg width.
 
     Returns codebooks[j][c] = the c-th sub-centroid of subspace j.
+    Pass a precollected ``seeds`` list (seed_rows; a longer list's prefix
+    is used) to share the seed scan with ivf_centroids.
     """
-    h = (
-        F.md5(F.col("i").cast("string").cast("binary"))
-        if seed_hash == "md5"
-        else F.xxhash64(F.col("i"))
-    )
-    seeds = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .withColumn("h", h)
-        .orderBy("h", "i")
-        .limit(ksub)
-        .collect()
-    )
+    if seeds is None:
+        seeds = seed_rows(corpus, ksub, id_col, vec_col, seed_hash)
+    if len(seeds) < ksub:
+        raise ValueError(f"need {ksub} seed rows, got {len(seeds)}")
+    seeds = seeds[:ksub]
     dim = len(seeds[0]["v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1031,11 +1049,17 @@ def ivfpq_topk(
     ``centroids`` / ``codebooks`` / ``codes`` to reuse a persisted index
     across query batches; exactness is recoverable by re-ranking the top
     shortlist against true vectors (pq_rerank_topk's pattern)."""
+    shared = (
+        seed_rows(corpus, max(n_centroids, ksub), id_col, vec_col, seed_hash)
+        if centroids is None and codebooks is None
+        else None
+    )
     cent = centroids or ivf_centroids(
-        corpus, n_centroids, n_iters, id_col, vec_col, seed_hash
+        corpus, n_centroids, n_iters, id_col, vec_col, seed_hash,
+        seeds=shared,
     )
     books = codebooks or pq_codebooks(
-        corpus, m, ksub, n_iters, id_col, vec_col, seed_hash
+        corpus, m, ksub, n_iters, id_col, vec_col, seed_hash, seeds=shared
     )
     dsub = len(books[0][0])
     cd = codes
@@ -1198,11 +1222,15 @@ def build_ann_index(
     import json
     import os
 
+    shared = seed_rows(
+        corpus, max(n_centroids, ksub), id_col, vec_col, seed_hash
+    )
     cent = ivf_centroids(
-        corpus, n_centroids, n_iters, id_col, vec_col, seed_hash
+        corpus, n_centroids, n_iters, id_col, vec_col, seed_hash,
+        seeds=shared,
     )
     books = pq_codebooks(
-        corpus, m, ksub, n_iters, id_col, vec_col, seed_hash
+        corpus, m, ksub, n_iters, id_col, vec_col, seed_hash, seeds=shared
     )
     dsub = len(books[0][0])
     codes = corpus.select(
