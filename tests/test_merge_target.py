@@ -261,3 +261,29 @@ def test_redact_on_ingest(spark, tmp_path):
         assert "bob@example.com" not in raw and "10.0.0.7" not in raw
     finally:
         t.drop()
+
+
+def test_lww_combiner_runs_before_exchange(spark):
+    """Pin the load-bearing scale property of the apply plan (BENCH.md's
+    projection rests on it): the LWW reduce must run a PARTIAL max_by
+    aggregate BELOW the key Exchange (map-side combine), so shuffle volume
+    is ~#distinct keys per batch, never #events. executedPlan prints
+    top-down, so the partial aggregate must appear AFTER the Exchange in
+    the string and a partial_max must exist at all."""
+    events = make_events(
+        spark,
+        [
+            ev("I", i, i, f"c{i % 3}", i % 2, text=f"t{i}")
+            for i in range(1, 60)
+        ],
+    )
+    plan = (
+        lww_state(events)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max" in plan, plan[:2000]
+    i_exchange = plan.index("Exchange hashpartitioning")
+    i_partial = plan.index("partial_max")
+    assert i_partial > i_exchange, (
+        "map-side combine missing: partial aggregate not below the "
+        "shuffle exchange"
+    )
