@@ -287,3 +287,47 @@ def test_lww_combiner_runs_before_exchange(spark):
         "map-side combine missing: partial aggregate not below the "
         "shuffle exchange"
     )
+
+
+def test_lww_state_matches_python_reference_on_random_streams(spark):
+    """Randomized operator-level oracle: seeded random streams (update-
+    heavy, deliberate ts collisions, injected exact-duplicate rows, fully
+    shuffled delivery order) must reduce to exactly what a pure-Python
+    LWW reducer computes — winner per (conv_id, turn_idx) by max (ts,
+    lsn), deletes dropping the key. Independent of both the DuckDB oracle
+    formulation and the window/salted variants."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        events = []
+        for lsn in range(400):
+            conv = f"c{rng.randrange(6)}"
+            turn = rng.randrange(4)
+            op = rng.choice("IUUD")
+            # coarse ts grid → frequent ts ties, so the lsn tiebreak is
+            # genuinely exercised
+            ts = T0 + dt.timedelta(seconds=rng.randrange(60))
+            text = None if op == "D" else f"x{lsn}"
+            events.append((op, lsn, ts, conv, turn, "user", text, None))
+        dups = [events[rng.randrange(len(events))] for _ in range(50)]
+        stream = events + dups
+        rng.shuffle(stream)
+
+        expected = {}
+        for op, lsn, ts, conv, turn, role, text, tool in events:
+            k = (conv, turn)
+            cur = expected.get(k)
+            if cur is None or (ts, lsn) > (cur[0], cur[1]):
+                expected[k] = (ts, lsn, op, text)
+        expected = {
+            k: (lsn, text)
+            for k, (ts, lsn, op, text) in expected.items()
+            if op != "D"
+        }
+
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["lsn"], r["text"])
+            for r in lww_state(make_events(spark, stream)).collect()
+        }
+        assert got == expected, f"seed {seed}"
