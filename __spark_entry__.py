@@ -270,6 +270,32 @@ def q_cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_maxwell_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second wire-format round trip (Maxwell's daemon, the other de-facto
+    MySQL CDC envelope): render the change stream as Maxwell JSON
+    (type insert|update|delete, second-granularity ts, binlog
+    file:offset position), parse it back (sources/maxwell.py) and
+    LWW-reduce the PARSED stream. Maxwell coarsens ts to seconds, so the
+    oracle ranks by the identically-coarsened (ts, lsn) order — binlog
+    position carries intra-second ordering, which is MySQL's real commit
+    order."""
+    from kettle_jena_plugins_spark.sources.maxwell import (
+        parse_maxwell,
+        to_maxwell_json,
+    )
+
+    ch = change_events(spark, sf_dir)
+    parsed = parse_maxwell(to_maxwell_json(ch), table="transcripts")
+    return lww_state(parsed).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
 def q_cdc_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order accounting per conversation shard: how many events arrive
     with an event time below the shard's running maximum (WAL/lsn order), and
@@ -1564,6 +1590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # driver's 50-slot window: formulation variants, observability profiles,
 # and eval harnesses whose operator family already has a checked row above.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_maxwell_parse": q_cdc_maxwell_parse,
     "cdc_lww_state_window": q_cdc_lww_state_window,
     "cdc_final_op_counts": q_cdc_final_op_counts,
     "cdc_lag_metrics": q_cdc_lag_metrics,
@@ -3071,6 +3098,28 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """,
     "cdc_debezium_parse": _LWW_RANKED
     + """
+SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+    # cdc_maxwell_parse: Maxwell's envelope carries SECOND-granularity ts,
+    # so the oracle ranks by the identically coarsened (ts, lsn) order —
+    # lsn (binlog position) is unique and carries intra-second ordering.
+    "cdc_maxwell_parse": f"""
+WITH {CHANGES_ORACLE_CTE},
+coarse AS (
+    SELECT op, lsn,
+           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS cts,
+           conv_id, turn_idx, role, text, tool
+    FROM changes
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY conv_id, turn_idx
+               ORDER BY cts DESC, lsn DESC, op DESC
+           ) AS rn
+    FROM coarse
+)
 SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """,

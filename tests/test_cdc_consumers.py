@@ -531,3 +531,70 @@ def test_cli_profile_command(spark, tmp_path, capsys):
     assert kinds == {"wal_hour", "churn", "update_delta"}
     hour_rows = [d["wal_hour"] for d in lines if "wal_hour" in d]
     assert all(r["n_events"] >= 1 for r in hour_rows)
+
+
+# ---------------------------------------------------------------- maxwell
+
+
+def test_maxwell_round_trip_all_ops_coarsens_ts_only(spark):
+    """insert/update/delete round-trip bit-identically except ts, which
+    Maxwell carries at second granularity (floor) — the documented
+    coarsening; lsn survives exactly through the file:offset position."""
+    from kettle_jena_plugins_spark.sources.maxwell import (
+        parse_maxwell,
+        to_maxwell_json,
+    )
+
+    ch = _changes(
+        spark,
+        [
+            ("I", 1, _ts(1), "c1", 0, "user", 'sa"y\n\\x', "t"),
+            ("U", 2, _ts(2), "c1", 0, "user", "v2", None),
+            ("D", 3, _ts(3), "c1", 0, None, None, None),
+            # lsn beyond one binlog file: composite must survive
+            ("U", (7 << 40) + 12345, _ts(4), "c2", 1, "bot", "far", None),
+        ],
+    )
+    back = parse_maxwell(to_maxwell_json(ch)).orderBy("lsn").collect()
+    orig = ch.orderBy("lsn").collect()
+    for b, o in zip(back, orig):
+        assert (b["op"], b["lsn"], b["conv_id"], b["turn_idx"], b["role"],
+                b["text"], b["tool"]) == (
+            o["op"], o["lsn"], o["conv_id"], o["turn_idx"], o["role"],
+            o["text"], o["tool"])
+        assert b["ts"] == o["ts"].replace(microsecond=0)
+
+
+def test_maxwell_table_filter_and_unknown_type(spark):
+    from kettle_jena_plugins_spark.sources.maxwell import parse_maxwell
+
+    raw = spark.createDataFrame(
+        [
+            ('{"database":"app","table":"transcripts","type":"insert",'
+             '"ts":100,"position":"master.000001:10",'
+             '"data":{"conv_id":"c1","turn_idx":0,"role":"u","text":"x",'
+             '"tool":null}}',),
+            # other table on the same topic: must be filtered out
+            ('{"database":"app","table":"users","type":"insert","ts":100,'
+             '"position":"master.000001:20",'
+             '"data":{"conv_id":"zz","turn_idx":9,"role":"u","text":"y",'
+             '"tool":null}}',),
+            # bootstrap snapshot rows map to I
+            ('{"database":"app","table":"transcripts",'
+             '"type":"bootstrap-insert","ts":101,'
+             '"position":"master.000001:30",'
+             '"data":{"conv_id":"c2","turn_idx":1,"role":"u","text":"b",'
+             '"tool":null}}',),
+            # unknown type -> null op for the dead-letter split
+            ('{"database":"app","table":"transcripts","type":"table-alter",'
+             '"ts":102,"position":"master.000001:40",'
+             '"data":{"conv_id":"c3","turn_idx":2,"role":"u","text":"z",'
+             '"tool":null}}',),
+            (None,),  # null value dropped
+        ],
+        "value string",
+    )
+    out = parse_maxwell(raw, table="transcripts").orderBy("lsn").collect()
+    assert [r["conv_id"] for r in out] == ["c1", "c2", "c3"]
+    assert [r["op"] for r in out] == ["I", "I", None]
+    assert out[0]["lsn"] == (1 << 40) + 10
