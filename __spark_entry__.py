@@ -108,11 +108,19 @@ def q_cdc_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not throughput — cdc_apply in bench.py measures that. A quarter of
     # the stream keeps every op type and multi-event keys at every sf.
     ch = change_events(spark, sf_dir).filter(F.col("lsn") % 4 == 0)
-    # fixed scratch root, wiped per run: repeated contract/bench runs must
+    # PID-keyed scratch root, wiped per run within the process and rmtree'd
+    # at interpreter exit: repeated contract/bench runs in one process must
     # not accumulate WAL+checkpoint+table copies in /tmp (the returned
-    # DataFrame stays lazy over these files, so they can't be removed here)
-    base = f"{tempfile.gettempdir()}/kjp_cdc_streaming_state"
+    # DataFrame stays lazy over these files, so they can't be removed
+    # here), while two CONCURRENT driver/oracle invocations (separate
+    # processes) must not clobber each other's WAL/checkpoint mid-query —
+    # a fixed shared path broke the latter.
+    import atexit
+    import os
+
+    base = f"{tempfile.gettempdir()}/kjp_cdc_streaming_state_{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     wal, ckpt, tbl = f"{base}/wal", f"{base}/ckpt", f"{base}/tbl"
     # 2 segments = 2 micro-batches: enough to prove cross-batch resume +
     # out-of-order interleaving, and per-batch fixed cost (~5-8 s commit +
@@ -491,6 +499,7 @@ _SHAPES_TTL = """
 @prefix t:   <http://example.org/transcript#> .
 @prefix sh:  <http://www.w3.org/ns/shacl#> .
 @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
 
 t:TurnShape
     a sh:NodeShape ;
@@ -502,7 +511,10 @@ t:TurnShape
     sh:property [ sh:path [ sh:alternativePath ( t:text t:tool ) ] ;
                   sh:minCount 1 ; ] ;
     sh:property [ sh:path t:role ; sh:pattern "^(user|assistant)$" ; ] ;
+    sh:property [ sh:path t:role ; sh:nodeKind sh:IRI ; ] ;
     sh:property [ sh:path t:tool ; sh:datatype xsd:decimal ; ] ;
+    sh:property [ sh:path t:meta ; sh:nodeKind sh:BlankNode ; ] ;
+    sh:property [ sh:path t:meta ; sh:class t:ToolCall ; ] ;
     sh:property [ sh:path t:meta ; sh:node t:MetaShape ; ] .
 
 t:MetaShape
@@ -514,8 +526,10 @@ t:MetaShape
 def q_validate_shacl_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The literal runtime-loaded shapes-graph path (JenaShaclStep.java:
     59-71): a SHACL Turtle document — targetClass node shape, simple and
-    sequence paths, sh:alternativePath, a nested sh:node helper shape
-    (the ODRL-shape.ttl constructs, JenaShaclStepIT.java:58-81) — is
+    sequence paths, sh:alternativePath, a nested sh:node helper shape,
+    sh:nodeKind term-kind checks and an sh:class rdf:type check over the
+    typed substructure (the ODRL-shape.ttl constructs — the reference's
+    own ODRL shapes use sh:class — JenaShaclStepIT.java:58-81) — is
     parsed and compiled onto the constructed nested document, then
     violations are counted per reason."""
     from kettle_jena_plugins_spark.operators.construct import (
@@ -525,8 +539,22 @@ def q_validate_shacl_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kettle_jena_plugins_spark.operators.shacl import shapes_from_ttl
     from kettle_jena_plugins_spark.operators.validate import ValidationSpec
 
-    ch = change_events(spark, sf_dir)
-    ns = {"t": "http://example.org/transcript#"}
+    # meta carries rdf:type = t:ToolCall iff the event used a tool, so
+    # the shapes file's `sh:class t:ToolCall` fires exactly on tool-less
+    # turns (the sh:class oracle below mirrors this)
+    ch = change_events(spark, sf_dir).withColumn(
+        "meta_type",
+        F.concat(
+            F.lit("http://example.org/transcript#"),
+            F.when(F.col("tool").isNotNull(), F.lit("ToolCall")).otherwise(
+                F.lit("Turn")
+            ),
+        ),
+    )
+    ns = {
+        "t": "http://example.org/transcript#",
+        "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    }
     docs = construct_doc(
         ch,
         uri_prefix="ex:conv/",
@@ -539,6 +567,7 @@ def q_validate_shacl_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 None,
                 "t:meta",
                 children=(
+                    PropertyMapping("meta_type", "rdf:type"),
                     PropertyMapping("tool", "t:tool"),
                     PropertyMapping(
                         None,
@@ -3385,6 +3414,19 @@ SELECT reason, n FROM (
     SELECT 'datatype:doc.t_meta.t_prov.t_lsn', COUNT(*)
     FROM changes WHERE lsn IS NOT NULL
       AND NOT regexp_matches(CAST(lsn AS VARCHAR), '^[+-]?[0-9]+$')
+    UNION ALL
+    -- sh:nodeKind sh:IRI on t:role: role is always a plain word
+    -- (user/assistant/tool — never scheme-shaped), so every present
+    -- role violates; sh:nodeKind sh:BlankNode on t:meta never fires
+    -- (struct) and so contributes no row on either side
+    SELECT 'node_kind:doc.t_role', COUNT(*)
+    FROM changes WHERE role IS NOT NULL
+      AND NOT regexp_matches(role, '^[A-Za-z][A-Za-z0-9+.-]*:[^ ]*$')
+    UNION ALL
+    -- sh:class t:ToolCall on t:meta: meta.rdf_type is ...#ToolCall iff
+    -- tool is present, so the violation set is the tool-less turns
+    SELECT 'class:doc.t_meta', COUNT(*)
+    FROM changes WHERE tool IS NULL
 ) WHERE n > 0
 """,
 }

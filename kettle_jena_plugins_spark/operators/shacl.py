@@ -27,6 +27,13 @@ subset those shapes exercise —
     ``sh:maxExclusive`` → numeric range (double comparison)
   - ``sh:in ( v... )`` → enumeration membership; ``sh:hasValue v`` →
     required value (fires on absence, per SHACL)
+  - ``sh:nodeKind`` (all six values) → term-kind check over the engine's
+    rendering: nested struct = blank node, quoted full literal term or
+    non-IRI-shaped scalar = literal, scheme-shaped scalar = IRI
+  - ``sh:class <C>`` → the value node's ``rdf:type`` child must equal the
+    expanded class URI (exact equality — rdfs:subClassOf subsumption is a
+    non-goal; a path whose construct carries no rdf:type child fails
+    analysis loudly rather than under-validating)
 
 compiled onto columns named by the same alias rule the construct operator
 uses (``prefix:local`` → ``prefix_local``), so a shapes file written
@@ -36,7 +43,8 @@ against a constructed document validates it directly:
     spec = ValidationSpec(shapes=shapes, any_of=any_of,
                           constraints=constraints, ...)
 
-Remaining out-of-scope vocabulary (sh:class, sh:nodeKind, sh:or, …) is
+Remaining out-of-scope vocabulary (sh:not, sh:and, qualified cardinality,
+sh:or over arbitrary shapes, …) is
 NOT silently dropped: each occurrence raises a ``ShaclUnsupportedWarning``
 (or ValueError with ``strict=True``) — the reference's Jena delegates to a
 full SHACL engine (JenaShaclStep.java:94-108), so a shapes file using
@@ -105,8 +113,43 @@ _SUPPORTED_KEYS = frozenset(
         "maxExclusive",
         "in",
         "hasValue",
+        "nodeKind",
+        "class",
     )
 )
+
+# IRI-shaped string: scheme ':' then no whitespace (RFC 3986 scheme,
+# backslash-free so it survives the SQL string literal untouched)
+_IRI_RX = "^[A-Za-z][A-Za-z0-9+.-]*:[^ ]*$"
+
+
+def _node_kind_violation(dotted: str, kind: str) -> str | None:
+    """sh:nodeKind → one-column violation predicate over this engine's
+    term rendering: blank nodes are the construct's nested STRUCT columns
+    (checked via typeof); typed/language-tagged literals render as full
+    terms starting with '\"'; an unquoted scalar matching the IRI scheme
+    shape is an IRI; everything else is a (plain) literal. Returns None
+    for vocabulary outside the six sh:nodeKind values."""
+    s = f"CAST({dotted} AS STRING)"
+    is_blank = f"typeof({dotted}) LIKE 'struct%'"
+    is_lit_term = f"{s} LIKE '\"%'"
+    is_iri = (
+        f"(NOT {is_blank} AND NOT {is_lit_term} AND {s} RLIKE '{_IRI_RX}')"
+    )
+    is_literal = (
+        f"(NOT {is_blank} AND ({is_lit_term} OR NOT {s} RLIKE '{_IRI_RX}'))"
+    )
+    allowed = {
+        SH + "IRI": is_iri,
+        SH + "Literal": is_literal,
+        SH + "BlankNode": is_blank,
+        SH + "BlankNodeOrIRI": f"({is_blank} OR {is_iri})",
+        SH + "BlankNodeOrLiteral": f"({is_blank} OR {is_literal})",
+        SH + "IRIOrLiteral": f"(NOT {is_blank})",
+    }.get(kind)
+    if allowed is None:
+        return None
+    return f"{dotted} IS NOT NULL AND NOT {allowed}"
 # pure annotations (no validation semantics) — ignored without warning
 _ANNOTATION_KEYS = frozenset(
     SH + k for k in ("message", "name", "description", "severity", "order", "group")
@@ -254,8 +297,19 @@ class _Parser:
         if re.fullmatch(r"-?\d+\.\d+", t):
             return float(t)
         if t.startswith('"'):
-            return t[1:-1]
+            return _unescape_ttl(t[1:-1])
         return self._expand(t)
+
+
+def _unescape_ttl(s: str) -> str:
+    """Turtle string-escape decoding (ECHAR): \\\\ \\" \\n \\t \\r. A
+    backslash before any other character is kept verbatim — lenient
+    toward the common sloppy form ``sh:pattern "^\\d+$"`` (strict Turtle
+    would demand ``"^\\\\d+$"``; both now yield the regex ``^\\d+$``)."""
+    _ech = {"\\": "\\", '"': '"', "'": "'", "n": "\n", "t": "\t", "r": "\r"}
+    return re.sub(
+        r"\\(.)", lambda m: _ech.get(m.group(1), "\\" + m.group(1)), s
+    )
 
 
 def dict_of(pairs: list[tuple[str, object]]) -> dict:
@@ -267,8 +321,11 @@ def dict_of(pairs: list[tuple[str, object]]) -> dict:
 
 def _sql_str(v) -> str:
     """A value as a single-quoted SQL string literal (values compare on
-    their string form — int 1 and column value 1 both render '1')."""
-    return "'" + str(v).replace("'", "''") + "'"
+    their string form — int 1 and column value 1 both render '1').
+    Backslashes are doubled: Spark's default parser treats backslash as
+    an escape character inside string literals, so an unescaped '\\d'
+    would silently become 'd'."""
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _local_segment(uri: str, prefixes: dict[str, str]) -> str:
@@ -359,7 +416,11 @@ def shapes_from_ttl(
             if flags and flags not in ("i",):
                 unsupported(f"sh:flags {flags!r}", dotted)
             rx = ("(?i)" if flags == "i" else "") + pattern
-            rx = rx.replace("'", "''")
+            # double backslashes BEFORE quoting: the predicate travels
+            # through a Spark SQL string literal where backslash escapes,
+            # so a TTL pattern like ^\\d+$ would otherwise silently become
+            # ^d+$ and the constraint would stop firing
+            rx = rx.replace("\\", "\\\\").replace("'", "''")
             constraints.append(
                 (
                     f"pattern:{dotted}",
@@ -427,6 +488,37 @@ def shapes_from_ttl(
                     f"CAST({dotted} AS STRING) <> {_sql_str(has_value)}",
                 )
             )
+        # sh:nodeKind — IRI / Literal / BlankNode (+ the three unions)
+        # over the engine's term rendering (see _node_kind_violation)
+        node_kind = prop.get(SH + "nodeKind", [None])[0]
+        if isinstance(node_kind, str):
+            pred = _node_kind_violation(dotted, node_kind)
+            if pred is None:
+                unsupported(
+                    f"sh:nodeKind <{node_kind}>", dotted
+                )
+            else:
+                constraints.append((f"node_kind:{dotted}", pred))
+        # sh:class — the value node must carry rdf:type = the class, i.e.
+        # the construct's substructure has an rdf:type child equal to the
+        # expanded class URI (JenaShaclStep delegates to Jena's full
+        # validator which walks the data graph; our relational carrying
+        # keeps the type ON the node's struct). Exact-equality semantics:
+        # no rdfs:subClassOf subsumption (document-level non-goal). A
+        # class constraint over a path without an rdf:type child fails
+        # ANALYSIS loudly — never silently under-validates.
+        sh_class = prop.get(SH + "class", [None])[0]
+        if isinstance(sh_class, str):
+            type_seg = seg(RDF_TYPE)
+            constraints.append(
+                (
+                    f"class:{dotted}",
+                    f"{dotted} IS NOT NULL AND "
+                    f"({dotted}.{type_seg} IS NULL OR "
+                    f"CAST({dotted}.{type_seg} AS STRING) <> "
+                    f"{_sql_str(sh_class)})",
+                )
+            )
 
     def emit(prop: dict) -> None:
         path = prop.get(SH + "path", [None])[0]
@@ -441,11 +533,11 @@ def shapes_from_ttl(
             ):
                 unsupported(key.replace(SH, "sh:"), str(path))
         if isinstance(path, dict) and SH + "alternativePath" in path:
-            if SH + "datatype" in prop or SH + "pattern" in prop:
-                unsupported(
-                    "sh:datatype/sh:pattern over sh:alternativePath",
-                    str(path),
-                )
+            for k in ("datatype", "pattern", "nodeKind", "class"):
+                if SH + k in prop:
+                    unsupported(
+                        f"sh:{k} over sh:alternativePath", str(path)
+                    )
             alts = [seg(u) for u in path[SH + "alternativePath"][0]]
             if min_c and min_c >= 1:
                 any_of.append(tuple(_join(root, [a]) for a in alts))

@@ -1252,10 +1252,26 @@ def build_ann_index(
                 "n_centroids": n_centroids,
                 "m": m,
                 "ksub": ksub,
+                "dim": m * dsub,
                 "centroids": cent,
                 "codebooks": books,
             },
             f,
+        )
+
+
+def _check_ann_dim(df: DataFrame, vec_col: str, meta: dict, path: str) -> None:
+    """Raise if a batch/query vector dimension doesn't match the persisted
+    quantizers — a silent mismatch yields null/garbage ADC distances (the
+    codebooks slice the vector at the INDEX's dsub). One 1-row probe job;
+    negligible against the encode/scan it guards. ``dim`` is persisted at
+    build time and derived from the codebooks for pre-dim indexes."""
+    dim = meta.get("dim") or meta["m"] * len(meta["codebooks"][0][0])
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is not None and row["d"] != dim:
+        raise ValueError(
+            f"vector dim {row['d']} != index dim {dim} "
+            f"(index at {path} was built over {dim}-d vectors)"
         )
 
 
@@ -1275,6 +1291,7 @@ def append_to_ann_index(
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    _check_ann_dim(df, vec_col, meta, path)
     cent, books = meta["centroids"], meta["codebooks"]
     dsub = len(books[0][0])
     df.select(
@@ -1310,6 +1327,7 @@ def ann_index_topk(
     spark = queries.sparkSession
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    _check_ann_dim(queries, vec_col, meta, path)
     cent, books = meta["centroids"], meta["codebooks"]
     dsub = len(books[0][0])
     q = queries.select(

@@ -87,16 +87,18 @@ def parse_maxwell(
       them atomically at commit, but their binlog positions already order
       them correctly, so they pass through.
     """
-    p = F.from_json(F.col(value_col), MAXWELL_VALUE_SCHEMA)
+    # parse ONCE into a struct column, then filter/project from it — a
+    # second from_json in a separate Filter operator would not be CSE'd
+    # with the projection's parse, JSON-decoding every row twice
+    out = raw.filter(F.col(value_col).isNotNull()).select(
+        F.from_json(F.col(value_col), MAXWELL_VALUE_SCHEMA).alias("_env")
+    )
+    p = F.col("_env")
     op_col: Column = F.lit(None).cast("string")
     for k, v in _OP_IN.items():
         op_col = F.when(p["type"] == k, F.lit(v)).otherwise(op_col)
-    out = raw.filter(F.col(value_col).isNotNull())
     if table is not None:
-        out = out.filter(
-            F.from_json(F.col(value_col), MAXWELL_VALUE_SCHEMA)["table"]
-            == table
-        )
+        out = out.filter(p["table"] == table)
     return out.select(
         op_col.alias("op"),
         _position_to_lsn(p["position"]).alias("lsn"),
@@ -119,9 +121,12 @@ def to_maxwell_json(
     (deterministic fixture renderer; inverse of ``parse_maxwell`` up to
     Maxwell's second-granularity ts — the round-trip contract query's
     oracle coarsens identically)."""
+    # shiftrightunsigned, not double division: lsn / 2^40 in double is
+    # only exact below 2^53, and a composite lsn from a high binlog file
+    # number exceeds that — the shift is exact for the full long range
     pos = F.format_string(
         "master.%06d:%d",
-        (F.col("lsn") / F.lit(_FILE_SHIFT)).cast("long"),
+        F.shiftrightunsigned(F.col("lsn"), 40),
         F.pmod(F.col("lsn"), F.lit(_FILE_SHIFT)).cast("long"),
     )
     envelope = F.struct(

@@ -225,14 +225,14 @@ def test_unsupported_vocabulary_is_loud():
     @prefix ex: <http://example.org/x#> .
     @prefix sh: <http://www.w3.org/ns/shacl#> .
     ex:S a sh:NodeShape ; sh:targetClass ex:T ;
-        sh:property [ sh:path ex:p ; sh:class ex:C ; sh:minCount 1 ;
+        sh:property [ sh:path ex:p ; sh:not [ sh:path ex:q ] ; sh:minCount 1 ;
                       sh:message "annotation only, no warning" ; ] .
     """
-    with _pytest.warns(ShaclUnsupportedWarning, match="sh:class"):
+    with _pytest.warns(ShaclUnsupportedWarning, match="sh:not"):
         shapes, _, _ = shapes_from_ttl(ttl)
     # the enforceable part (minCount) still compiles
     assert [s.path for s in shapes] == ["ex_p"]
-    with _pytest.raises(ValueError, match="sh:class"):
+    with _pytest.raises(ValueError, match="sh:not"):
         shapes_from_ttl(ttl, strict=True)
     # unknown datatype lexical space warns too
     ttl2 = """
@@ -292,3 +292,88 @@ def test_length_range_in_hasvalue_constraints(spark):
         "in:ex_role": 1,
         "has_value:ex_kind": 1,  # row 3's absent kind — hasValue fires on NULL
     }
+
+
+def test_nodekind_and_class_constraints(spark):
+    """sh:nodeKind over the engine's term rendering (struct = blank node,
+    quoted full literal term or non-IRI scalar = literal, scheme-shaped
+    scalar = IRI) and sh:class as an rdf:type equality check on the
+    value node's substructure."""
+    ttl = """
+    @prefix ex:  <http://example.org/x#> .
+    @prefix sh:  <http://www.w3.org/ns/shacl#> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:ref  ; sh:nodeKind sh:IRI ; ] ;
+        sh:property [ sh:path ex:name ; sh:nodeKind sh:Literal ; ] ;
+        sh:property [ sh:path ex:meta ; sh:nodeKind sh:BlankNode ; ] ;
+        sh:property [ sh:path ex:meta ; sh:class ex:Tool ; ] .
+    """
+    shapes, any_of, constraints = shapes_from_ttl(ttl)
+    reasons = {r for r, _ in constraints}
+    assert reasons == {
+        "node_kind:ex_ref",
+        "node_kind:ex_name",
+        "node_kind:ex_meta",
+        "class:ex_meta",
+    }
+    df = spark.createDataFrame(
+        [
+            # clean: IRI-shaped ref, word literal, typed meta
+            ("http://a.org/r1", "alice", "http://example.org/x#Tool"),
+            # ref not IRI-shaped; name IS IRI-shaped (Literal violated)
+            ("not an iri", "urn:x", "http://example.org/x#Tool"),
+            # wrong class on meta; quoted literal term satisfies Literal
+            ("mailto:a@b.c", '"42"^^<http://www.w3.org/2001/XMLSchema#int>',
+             "http://example.org/x#Other"),
+            # nulls vacuous everywhere
+            (None, None, None),
+        ],
+        "ex_ref string, ex_name string, rdf_type string",
+    ).withColumn(
+        "ex_meta",
+        F.when(
+            F.col("rdf_type").isNotNull(), F.struct(F.col("rdf_type"))
+        ),
+    )
+    spec = ValidationSpec(
+        require_keys=(), require_ts=False, constraints=constraints
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(df, spec).collect()
+    }
+    # ex_meta is a struct → BlankNode never fires; class fires once
+    assert stats == {
+        "node_kind:ex_ref": 1,
+        "node_kind:ex_name": 1,
+        "class:ex_meta": 1,
+    }
+
+
+def test_pattern_backslash_survives_sql_literal(spark):
+    """A regex class like \\d must survive the trip through the Spark SQL
+    string literal (backslash is an escape char there): both the strict
+    Turtle form "^\\\\d+$" and the sloppy "^\\d+$" compile to the regex
+    ^\\d+$ and actually fire — previously they silently became ^d+$ and
+    the constraint stopped validating."""
+    for ttl_pattern in ("^\\\\d+$", "^\\d+$"):
+        ttl = f"""
+        @prefix ex: <http://example.org/x#> .
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+            sh:property [ sh:path ex:n ; sh:pattern "{ttl_pattern}" ; ] .
+        """
+        _, _, constraints = shapes_from_ttl(ttl)
+        df = spark.createDataFrame(
+            [("123",), ("12x",), ("ddd",), (None,)], "ex_n string"
+        )
+        spec = ValidationSpec(
+            require_keys=(), require_ts=False, constraints=constraints
+        )
+        stats = {
+            r["reason"]: r["n"]
+            for r in dead_letter_stats(df, spec).collect()
+        }
+        # "12x" and "ddd" both fail ^\d+$ ("ddd" passing would mean the
+        # backslash was eaten and the regex degraded to ^d+$)
+        assert stats == {"pattern:ex_n": 2}, ttl_pattern

@@ -852,9 +852,25 @@ def test_ann_index_lifecycle_build_probe_append(spark, tmp_path):
         .executedPlan()
         .toString()
     )
-    em.unpersist()
     # static partition pruning reaches the code scan (verified plan shape:
     # `PartitionFilters: [cid#N IN (...)]` + ReadSchema without the
     # full-precision vector column)
     assert "PartitionFilters: [cid#" in plan and " IN (" in plan
     assert "embedding" not in plan.split("FileScan parquet")[1][:400]
+
+    # dimension guard: a batch/query whose vectors don't match the
+    # persisted codebooks' dim must raise, not silently corrupt ADC
+    # distances (meta.json persists dim = m * dsub at build time)
+    import json
+
+    with open(f"{path}/meta.json") as f:
+        assert json.load(f)["dim"] == 64
+    wrong = em.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.slice("embedding", 1, 7).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="dim"):
+        append_to_ann_index(wrong, path)
+    with pytest.raises(ValueError, match="dim"):
+        ann_index_topk(wrong, path, k=2, nprobe=2)
+    em.unpersist()
