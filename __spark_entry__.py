@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kettle_jena_plugins_spark.model import MERGE_KEYS
+from kettle_jena_plugins_spark.operators.dedup import (
+    MAX_BUCKET_DEFAULT as _MAX_BUCKET_DEFAULT,
+)
 from kettle_jena_plugins_spark.operators.lww import lww_reduce, lww_state
 from kettle_jena_plugins_spark.operators.sampling import (
     rate_threshold as _rate_threshold,
@@ -934,6 +937,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop accounting for the LSH hot-bucket guard (dedup._cap_buckets):
+    every (band, bucket) wider than the cap — the boilerplate signal the
+    candidate path skips instead of going |bucket|²-quadratic on. Run
+    here with a deliberately low cap (8) so the report is non-empty at
+    test scale; production uses MAX_BUCKET_DEFAULT."""
+    from kettle_jena_plugins_spark.operators.dedup import hot_buckets
+
+    return hot_buckets(
+        _docs_with_dups(spark, sf_dir), n=5, k=12, bands=3, max_bucket=8
+    )
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Propose-then-verify near-dup pipeline: MinHash-LSH candidates, exact
     n-gram Jaccard verification on candidates only (the full-corpus shingle
@@ -1639,6 +1655,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "content_chunks": q_content_chunks,
     "rolling_fingerprint": q_rolling_fingerprint,
     "span_dedup": q_span_dedup,
+    "dedup_hot_buckets": q_dedup_hot_buckets,
     "importance_sample": q_importance_sample,
     "training_order": q_training_order,
     "stratified_sample_exact": q_stratified_sample_exact,
@@ -1745,17 +1762,32 @@ _BAND_VALUES = ", ".join(
     )
     for b in range(_BANDS)
 )
-_MINHASH_CTES = f"""
+_MINHASH_CTES_RAW = f"""
 hv AS (
     SELECT doc_id,
            ('0x' || substr(md5(g), 1, 15))::BIGINT % {_P_MINHASH} AS h
     FROM (SELECT doc_id, unnest(sh) AS g FROM sh)
 ),
 sig AS (SELECT doc_id, {_SIG_COLS} FROM hv GROUP BY doc_id),
-banded AS (
+banded_raw AS (
     SELECT doc_id, b.band, b.bucket
     FROM sig, LATERAL (VALUES {_BAND_VALUES}) AS b(band, bucket)
 )"""
+
+# `banded` mirrors dedup._cap_buckets: (band, bucket) groups wider than
+# MAX_BUCKET_DEFAULT are dropped from candidate generation (the
+# hot-bucket/boilerplate guard); inert at every tested sf (max observed
+# width 181 at sf0.1) but part of the operator's semantics, so the oracle
+# carries it. hot_buckets' accounting reads banded_raw instead.
+_MINHASH_CTES = (
+    _MINHASH_CTES_RAW
+    + f""",
+banded AS (
+    SELECT doc_id, band, bucket FROM banded_raw
+    QUALIFY COUNT(*) OVER (PARTITION BY band, bucket)
+            <= {_MAX_BUCKET_DEFAULT}
+)"""
+)
 
 _COS = (
     "round(list_inner_product(qv, cv) / "
@@ -1880,6 +1912,13 @@ WITH {_DOCS_DUPS_CTE},
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+    "dedup_hot_buckets": f"""
+WITH {_DOCS_DUPS_CTE},
+{_shingles_cte(5, "docs2")},
+{_MINHASH_CTES_RAW}
+SELECT band, bucket, COUNT(*) AS width
+FROM banded_raw GROUP BY band, bucket HAVING COUNT(*) > 8
 """,
     "dedup_jaccard": f"""
 WITH {_DOCS_DUPS_CTE},

