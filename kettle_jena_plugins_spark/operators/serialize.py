@@ -56,6 +56,21 @@ class StatementSpec:
     # "lex"@lang, escaped) — produced upstream by a typed PropertyMapping
     # (construct.py); emitted as-is, never re-escaped/re-quoted
     prerendered: bool = False
+    # column is ArrayType: the value is an RDF COLLECTION (rdf:List) —
+    # Jena's writers emit these for list-valued model structures, reachable
+    # through the reference's TYPE_SERIALIZABLE model column even though
+    # the plugin's mapping UI never creates them (JenaSerializerStep.java:
+    # 243-338 serializes whatever the model holds). Rendering per format:
+    # TURTLE `( e1 e2 )`; N-TRIPLES an rdf:first/rdf:rest chain on
+    # deterministic blank labels; RDF/XML-ABBREV `rdf:parseType=
+    # "Collection"` (IRI items only — RDF/XML collections can only hold
+    # node elements, so literal-item lists raise there). Null elements are
+    # compacted out; a null array drops the statement; an empty array is
+    # rdf:nil / `()`. datatype/lang/prerendered apply element-wise.
+    collection: bool = False
+    # collection elements are IRIs (rendered <uri> / rdf:about items)
+    # rather than literals; only meaningful with collection=True
+    items_iri: bool = False
 
     def __post_init__(self):
         if self.datatype and self.lang:
@@ -64,6 +79,15 @@ class StatementSpec:
             raise ValueError(
                 "StatementSpec: prerendered terms already carry their "
                 "datatype/lang — don't set both"
+            )
+        if self.items_iri and not self.collection:
+            raise ValueError(
+                "StatementSpec: items_iri applies to collections only"
+            )
+        if self.items_iri and (self.datatype or self.lang or self.prerendered):
+            raise ValueError(
+                "StatementSpec: IRI collection items take no "
+                "datatype/lang/prerendered"
             )
 
 
@@ -142,10 +166,30 @@ def escape_literal(col: Column) -> Column:
 
 
 def object_term(spec: StatementSpec | str) -> Column:
-    """Render one object term; null source → null (statement dropped)."""
+    """Render one object term; null source → null (statement dropped).
+    Collections have no single-term N-Triples form (they are first/rest
+    chains) — callers dispatch those before coming here."""
     if isinstance(spec, str):
         spec = StatementSpec(spec)
-    src = F.col(spec.column)
+    if spec.collection:
+        raise ValueError(
+            "object_term: collections render per-format "
+            "(turtle_lines/ntriples_lines handle them)"
+        )
+    return _term_from(F.col(spec.column), spec)
+
+
+def _element_term(e: Column, spec: StatementSpec) -> Column:
+    """Render one collection ELEMENT as a term (datatype/lang/prerendered
+    element-wise; items_iri → <uri>)."""
+    if spec.items_iri:
+        return F.when(
+            e.isNotNull(), F.concat(F.lit("<"), e, F.lit(">"))
+        )
+    return _term_from(e, spec)
+
+
+def _term_from(src: Column, spec: StatementSpec) -> Column:
     if spec.prerendered:
         return src
     if spec.lang:
@@ -185,6 +229,70 @@ def object_term(spec: StatementSpec | str) -> Column:
     )
 
 
+def _turtle_collection(spec: StatementSpec) -> Column:
+    """Turtle collection syntax `( e1 e2 … )`; empty list → `()` (rdf:nil),
+    null array → null (statement dropped), null elements compacted out."""
+    src = F.col(spec.column)
+    arr = F.filter(src, lambda e: e.isNotNull())
+    joined = F.concat_ws(" ", F.transform(arr, lambda e: _element_term(e, spec)))
+    return (
+        F.when(src.isNull(), F.lit(None).cast("string"))
+        .when(F.size(arr) == 0, F.lit("()"))
+        .otherwise(F.concat(F.lit("( "), joined, F.lit(" )")))
+    )
+
+
+def _ntriples_collection_lines(
+    subject_col: str, prop: str, spec: StatementSpec
+) -> Column:
+    """N-Triples rendering of a collection statement: an rdf:first /
+    rdf:rest chain on DETERMINISTIC blank labels (md5 of subject+predicate
+    plus element index — stable across runs/partitions, no monotonically_
+    increasing_id). Returns an array<string> of lines; a null source array
+    collapses to a single null line the caller's array_compact drops."""
+    from ..functions.typed_literals import RDF_NS
+
+    src = F.col(spec.column)
+    arr = F.filter(src, lambda e: e.isNotNull())
+    n = F.size(arr)
+    base = F.concat(
+        F.lit("_:c"),
+        F.substring(
+            F.md5(F.concat(F.col(subject_col), F.lit(prop))), 1, 12
+        ),
+        F.lit("e"),
+    )
+
+    def lbl(j: Column) -> Column:
+        return F.concat(base, j.cast("string"))
+
+    subj = F.concat(F.lit("<"), F.col(subject_col), F.lit(f"> <{prop}> "))
+    head = F.when(
+        n == 0, F.concat(subj, F.lit(f"<{RDF_NS}nil> ."))
+    ).otherwise(F.concat(subj, lbl(F.lit(0)), F.lit(" .")))
+    firsts = F.transform(
+        arr,
+        lambda e, j: F.concat(
+            lbl(j), F.lit(f" <{RDF_NS}first> "), _element_term(e, spec),
+            F.lit(" ."),
+        ),
+    )
+    rests = F.transform(
+        arr,
+        lambda e, j: F.concat(
+            lbl(j),
+            F.lit(f" <{RDF_NS}rest> "),
+            F.when(j == n - 1, F.lit(f"<{RDF_NS}nil>")).otherwise(
+                lbl(j + F.lit(1))
+            ),
+            F.lit(" ."),
+        ),
+    )
+    return F.when(
+        src.isNotNull(), F.concat(F.array(head), firsts, rests)
+    ).otherwise(F.array(F.lit(None).cast("string")))
+
+
 def ntriples_lines(
     docs: DataFrame,
     subject_col: str = "subject",
@@ -192,21 +300,31 @@ def ntriples_lines(
 ) -> DataFrame:
     """One `<subj> <prop> obj .` line per non-null statement value — the
     N-TRIPLE serialization (Rdf11.java:81) as a pure column expression, so
-    the write stays a narrow map over the scan (no shuffle, no UDF)."""
+    the write stays a narrow map over the scan (no shuffle, no UDF).
+    Collection specs contribute their whole rdf:first/rest chain."""
     stmts = statements or {}
-    lines = []
+    arrays = []
     for prop, spec in stmts.items():
+        if isinstance(spec, str):
+            spec = StatementSpec(spec)
+        if spec.collection:
+            arrays.append(_ntriples_collection_lines(subject_col, prop, spec))
+            continue
         term = object_term(spec)
-        lines.append(
-            F.when(
-                term.isNotNull(),
-                F.concat(
-                    F.lit("<"), F.col(subject_col), F.lit(f"> <{prop}> "),
-                    term, F.lit(" ."),
-                ),
+        arrays.append(
+            F.array(
+                F.when(
+                    term.isNotNull(),
+                    F.concat(
+                        F.lit("<"), F.col(subject_col), F.lit(f"> <{prop}> "),
+                        term, F.lit(" ."),
+                    ),
+                )
             )
         )
-    return docs.select(F.explode(F.array_compact(F.array(*lines))).alias("value"))
+    return docs.select(
+        F.explode(F.array_compact(F.concat(*arrays))).alias("value")
+    )
 
 
 def _compact(prop: str, ns: dict[str, str]) -> str:
@@ -238,7 +356,11 @@ def turtle_lines(
     stmts = statements or {}
     lines = []
     for prop, spec in stmts.items():
-        term = object_term(spec)
+        if isinstance(spec, str):
+            spec = StatementSpec(spec)
+        term = (
+            _turtle_collection(spec) if spec.collection else object_term(spec)
+        )
         lines.append(
             F.when(
                 term.isNotNull(),
@@ -379,6 +501,12 @@ def rdfxml_rows(
     for prop, spec in stmts.items():
         if isinstance(spec, str):
             spec = StatementSpec(spec)
+        if spec.collection:
+            raise ValueError(
+                "flat RDF/XML has no collection shorthand — use "
+                "rdfxml_abbrev_rows (rdf:parseType=\"Collection\") for "
+                "IRI-item lists, or turtle/ntriples for literal items"
+            )
         qn = _xml_property_qname(prop, ns)
         segs.append(_xml_literal_segment(qn, spec))
     body = docs.select(
@@ -446,6 +574,40 @@ def rdfxml_abbrev_rows(
             else:
                 if isinstance(spec, str):
                     spec = StatementSpec(spec)
+                if spec.collection:
+                    if not spec.items_iri:
+                        raise ValueError(
+                            "RDF/XML collections can only hold node "
+                            "elements (items_iri=True); literal-item "
+                            "lists have no RDF/XML form — serialize "
+                            "those as turtle/ntriples"
+                        )
+                    # rdf:parseType="Collection": one empty node element
+                    # per IRI item; empty list → empty element = rdf:nil
+                    arr = F.filter(
+                        F.col(spec.column), lambda e: e.isNotNull()
+                    )
+                    inner = F.concat_ws(
+                        "",
+                        F.transform(
+                            arr,
+                            lambda e: F.concat(
+                                F.lit('<rdf:Description rdf:about="'),
+                                xml_escape_attr(e),
+                                F.lit('"/>'),
+                            ),
+                        ),
+                    )
+                    seg = F.when(
+                        F.col(spec.column).isNotNull(),
+                        F.concat(
+                            F.lit(f'<{qn} rdf:parseType="Collection">'),
+                            inner,
+                            F.lit(f"</{qn}>"),
+                        ),
+                    )
+                    segs.append(F.coalesce(seg, F.lit("")))
+                    continue
                 segs.append(_xml_literal_segment(qn, spec))
         return F.concat(*segs) if segs else F.lit("")
 

@@ -478,3 +478,151 @@ def test_rdfxml_abbrev_escaping_adversarial_corpus(spark):
         else:
             # numeric charrefs decode back to the raw newline/CR bytes
             assert got.get(subj, "") == v, subj
+
+
+# ------------------------------------------------------ RDF collections
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _coll_df(spark):
+    return spark.createDataFrame(
+        [
+            ("s1", ["a", "b", "c"]),
+            ("s2", []),          # empty list → rdf:nil / ()
+            ("s3", None),        # statement dropped
+            ("s4", ["x", None, "y"]),  # null element compacted out
+        ],
+        "subject string, vals array<string>",
+    )
+
+
+def test_turtle_collection_syntax(spark):
+    from kettle_jena_plugins_spark.operators.serialize import turtle_lines
+
+    out = lines(
+        turtle_lines(
+            spark.createDataFrame(
+                [("s1", ["a", 'q"uote', None])],
+                "subject string, vals array<string>",
+            ),
+            "subject",
+            {f"{NS}list": StatementSpec("vals", collection=True)},
+            namespaces={"t": NS},
+        )
+    )
+    # escaped elements, null compacted, one collection term
+    assert f'<s1> t:list ( "a" "q\\"uote" ) .' in out
+    d = _coll_df(spark)
+    out = lines(
+        turtle_lines(
+            d,
+            "subject",
+            {f"{NS}list": StatementSpec("vals", collection=True)},
+            namespaces={"t": NS},
+        )
+    )
+    assert f'<s1> t:list ( "a" "b" "c" ) .' in out
+    assert f"<s2> t:list () ." in out
+    assert not any(o.startswith("<s3>") for o in out)
+    assert f'<s4> t:list ( "x" "y" ) .' in out
+
+
+def test_ntriples_collection_chain(spark):
+    """first/rest chain on deterministic blank labels: chain is walkable
+    from the head triple to rdf:nil and stable across runs."""
+    d = _coll_df(spark)
+    out = lines(
+        ntriples_lines(
+            d, "subject", {f"{NS}list": StatementSpec("vals", collection=True)}
+        )
+    )
+    out2 = lines(
+        ntriples_lines(
+            d, "subject", {f"{NS}list": StatementSpec("vals", collection=True)}
+        )
+    )
+    assert out == out2  # deterministic labels
+    # s2: empty list → direct rdf:nil object, no chain nodes
+    assert any(
+        o.startswith("<s2>") and o.endswith(f"<{RDF_NS}nil> .") for o in out
+    )
+    # s3 dropped entirely
+    assert not any("<s3>" in o or "s3" in o.split(" ")[0] for o in out)
+    # s1: walk the chain — head points at label 0; 3 firsts; last rest=nil
+    head = [o for o in out if o.startswith(f"<s1> <{NS}list> ")][0]
+    lbl0 = head.split(" ")[2]
+    assert lbl0.startswith("_:c")
+    firsts = [o for o in out if f"<{RDF_NS}first>" in o and o.startswith("_:c")]
+    s1_firsts = [o for o in firsts if o.startswith(lbl0[:-1])]
+    assert len(s1_firsts) == 3
+    assert f'{lbl0} <{RDF_NS}first> "a" .' in out
+    rests = [o for o in out if o.startswith(lbl0[:-1]) and f"<{RDF_NS}rest>" in o]
+    assert len(rests) == 3
+    assert sum(1 for o in rests if o.endswith(f"<{RDF_NS}nil> .")) == 1
+    # s4: null element compacted → 2-node chain
+    assert any(o.endswith(f'<{RDF_NS}first> "x" .') for o in out)
+    assert any(o.endswith(f'<{RDF_NS}first> "y" .') for o in out)
+
+
+def test_rdfxml_abbrev_parsetype_collection(spark):
+    from kettle_jena_plugins_spark.operators.serialize import (
+        rdfxml_abbrev_rows,
+        rdfxml_rows,
+    )
+
+    d = spark.createDataFrame(
+        [
+            ("s1", ["http://x.org/a", "http://x.org/b"]),
+            ("s2", []),
+        ],
+        "subject string, refs array<string>",
+    )
+    ns = {"t": NS}
+    out = lines(
+        rdfxml_abbrev_rows(
+            d,
+            "subject",
+            {f"{NS}refs": StatementSpec("refs", collection=True, items_iri=True)},
+            namespaces=ns,
+        )
+    )
+    body = [o for o in out if "rdf:about=\"s1\"" in o][0]
+    assert (
+        '<t:refs rdf:parseType="Collection">'
+        '<rdf:Description rdf:about="http://x.org/a"/>'
+        '<rdf:Description rdf:about="http://x.org/b"/>'
+        "</t:refs>"
+    ) in body
+    empty = [o for o in out if "rdf:about=\"s2\"" in o][0]
+    assert '<t:refs rdf:parseType="Collection"></t:refs>' in empty
+    # literal-item lists have no RDF/XML form — loud, not silent
+    with pytest.raises(ValueError, match="node elements"):
+        rdfxml_abbrev_rows(
+            d,
+            "subject",
+            {f"{NS}refs": StatementSpec("refs", collection=True)},
+            namespaces=ns,
+        ).collect()
+    # flat writer: no collection shorthand at all
+    with pytest.raises(ValueError, match="collection"):
+        rdfxml_rows(
+            d,
+            "subject",
+            {f"{NS}refs": StatementSpec("refs", collection=True, items_iri=True)},
+            namespaces=ns,
+        ).collect()
+
+
+def test_collection_iri_items_in_ntriples_and_turtle(spark):
+    from kettle_jena_plugins_spark.operators.serialize import turtle_lines
+
+    d = spark.createDataFrame(
+        [("s1", ["http://x.org/a", "http://x.org/b"])],
+        "subject string, refs array<string>",
+    )
+    spec = StatementSpec("refs", collection=True, items_iri=True)
+    nt = lines(ntriples_lines(d, "subject", {f"{NS}refs": spec}))
+    assert any(o.endswith(f"<{RDF_NS}first> <http://x.org/a> .") for o in nt)
+    tt = lines(turtle_lines(d, "subject", {f"{NS}refs": spec}, namespaces={"t": NS}))
+    assert "<s1> t:refs ( <http://x.org/a> <http://x.org/b> ) ." in tt
