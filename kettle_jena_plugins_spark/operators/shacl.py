@@ -34,6 +34,12 @@ subset those shapes exercise —
     expanded class URI (exact equality — rdfs:subClassOf subsumption is a
     non-goal; a path whose construct carries no rdf:type child fails
     analysis loudly rather than under-validating)
+  - ``sh:and ( [ … ] … )`` over inline one-column shapes → conjunction
+    (each inline shape's constraints compile as if declared on the
+    property directly)
+  - ``sh:not [ … ]`` over an inline one-column shape → negation: fires
+    when the value exists and CONFORMS to the inner shape (inner
+    predicates OR-combined, reason ``not:<path>``)
 
 compiled onto columns named by the same alias rule the construct operator
 uses (``prefix:local`` → ``prefix_local``), so a shapes file written
@@ -43,8 +49,8 @@ against a constructed document validates it directly:
     spec = ValidationSpec(shapes=shapes, any_of=any_of,
                           constraints=constraints, ...)
 
-Remaining out-of-scope vocabulary (sh:not, sh:and, qualified cardinality,
-sh:or over arbitrary shapes, …) is
+Remaining out-of-scope vocabulary (qualified cardinality, sh:or over
+arbitrary shapes, structural keys inside inline sh:and/sh:not shapes) is
 NOT silently dropped: each occurrence raises a ``ShaclUnsupportedWarning``
 (or ValueError with ``strict=True``) — the reference's Jena delegates to a
 full SHACL engine (JenaShaclStep.java:94-108), so a shapes file using
@@ -102,6 +108,30 @@ _SUPPORTED_KEYS = frozenset(
         "minCount",
         "maxCount",
         "node",
+        "datatype",
+        "pattern",
+        "flags",
+        "minLength",
+        "maxLength",
+        "minInclusive",
+        "maxInclusive",
+        "minExclusive",
+        "maxExclusive",
+        "in",
+        "hasValue",
+        "nodeKind",
+        "class",
+        "and",
+        "not",
+    )
+)
+
+# keys an INLINE sub-shape (inside sh:and / sh:not) may carry: the
+# one-column lexical/term constraint kinds only — structural keys
+# (path/minCount/node/nested and/not) have no meaning there and warn
+_INLINE_SHAPE_KEYS = frozenset(
+    SH + k
+    for k in (
         "datatype",
         "pattern",
         "flags",
@@ -393,10 +423,15 @@ def shapes_from_ttl(
                 out.append(seg(path))
         return out
 
-    def lexical_checks(prop: dict, dotted: str) -> None:
+    def lexical_checks(
+        prop: dict, dotted: str, sink: list | None = None
+    ) -> None:
         """sh:datatype / sh:pattern → (reason, SQL predicate) constraints
         over the value's string form; fire only when the value exists
-        (SHACL conformance is vacuous for absent values)."""
+        (SHACL conformance is vacuous for absent values). ``sink``
+        redirects the compiled (reason, predicate) pairs (used by sh:not,
+        which must combine rather than emit them)."""
+        sink = constraints if sink is None else sink
         datatype = prop.get(SH + "datatype", [None])[0]
         pattern = prop.get(SH + "pattern", [None])[0]
         flags = prop.get(SH + "flags", [None])[0]
@@ -405,7 +440,7 @@ def shapes_from_ttl(
             if rx is None:
                 unsupported(f"sh:datatype <{datatype}>", dotted)
             elif rx:
-                constraints.append(
+                sink.append(
                     (
                         f"datatype:{dotted}",
                         f"{dotted} IS NOT NULL AND NOT "
@@ -421,7 +456,7 @@ def shapes_from_ttl(
             # so a TTL pattern like ^\\d+$ would otherwise silently become
             # ^d+$ and the constraint would stop firing
             rx = rx.replace("\\", "\\\\").replace("'", "''")
-            constraints.append(
+            sink.append(
                 (
                     f"pattern:{dotted}",
                     f"{dotted} IS NOT NULL AND NOT "
@@ -432,7 +467,7 @@ def shapes_from_ttl(
         min_len = prop.get(SH + "minLength", [None])[0]
         max_len = prop.get(SH + "maxLength", [None])[0]
         if isinstance(min_len, int):
-            constraints.append(
+            sink.append(
                 (
                     f"min_length:{dotted}",
                     f"{dotted} IS NOT NULL AND "
@@ -440,7 +475,7 @@ def shapes_from_ttl(
                 )
             )
         if isinstance(max_len, int):
-            constraints.append(
+            sink.append(
                 (
                     f"max_length:{dotted}",
                     f"{dotted} IS NOT NULL AND "
@@ -458,7 +493,7 @@ def shapes_from_ttl(
         ):
             v = prop.get(SH + key, [None])[0]
             if isinstance(v, (int, float)):
-                constraints.append(
+                sink.append(
                     (
                         f"{name}:{dotted}",
                         f"{dotted} IS NOT NULL AND "
@@ -472,7 +507,7 @@ def shapes_from_ttl(
         in_list = prop.get(SH + "in", [None])[0]
         if isinstance(in_list, list) and in_list:
             vals = ", ".join(_sql_str(x) for x in in_list)
-            constraints.append(
+            sink.append(
                 (
                     f"in:{dotted}",
                     f"{dotted} IS NOT NULL AND "
@@ -481,7 +516,7 @@ def shapes_from_ttl(
             )
         has_value = prop.get(SH + "hasValue", [None])[0]
         if has_value is not None:
-            constraints.append(
+            sink.append(
                 (
                     f"has_value:{dotted}",
                     f"{dotted} IS NULL OR "
@@ -498,7 +533,7 @@ def shapes_from_ttl(
                     f"sh:nodeKind <{node_kind}>", dotted
                 )
             else:
-                constraints.append((f"node_kind:{dotted}", pred))
+                sink.append((f"node_kind:{dotted}", pred))
         # sh:class — the value node must carry rdf:type = the class, i.e.
         # the construct's substructure has an rdf:type child equal to the
         # expanded class URI (JenaShaclStep delegates to Jena's full
@@ -510,7 +545,7 @@ def shapes_from_ttl(
         sh_class = prop.get(SH + "class", [None])[0]
         if isinstance(sh_class, str):
             type_seg = seg(RDF_TYPE)
-            constraints.append(
+            sink.append(
                 (
                     f"class:{dotted}",
                     f"{dotted} IS NOT NULL AND "
@@ -568,6 +603,59 @@ def shapes_from_ttl(
                 PathShape(dotted, min_count=min_c or 0, max_count=max_c)
             )
         lexical_checks(prop, dotted)
+
+        def check_inline_keys(d: dict, where: str) -> None:
+            for key in d:
+                if (
+                    key.startswith(SH)
+                    and key not in _INLINE_SHAPE_KEYS
+                    and key not in _ANNOTATION_KEYS
+                ):
+                    unsupported(
+                        f"{key.replace(SH, 'sh:')} inside an inline "
+                        "sh:and/sh:not shape", where
+                    )
+
+        # sh:and ( s1 s2 … ): conjunction of INLINE one-column shapes over
+        # the same value nodes — each compiles exactly as if its
+        # constraints were declared on the property directly (conjunction
+        # = more constraints; SHACL's sh:and over property shapes)
+        and_list = prop.get(SH + "and", [None])[0]
+        if and_list is not None:
+            subs = and_list if isinstance(and_list, list) else [and_list]
+            for sub in subs:
+                if isinstance(sub, dict):
+                    check_inline_keys(sub, dotted)
+                    lexical_checks(sub, dotted)
+                else:
+                    unsupported("sh:and over a non-inline shape", dotted)
+        # sh:not [ … ]: the value must NOT conform to the inner shape —
+        # violation when the value EXISTS and none of the inner shape's
+        # compiled violation predicates fire (i.e. it conforms). Inner
+        # constraints compile into a local sink and are OR-combined, never
+        # emitted standalone.
+        not_shape = prop.get(SH + "not", [None])[0]
+        if not_shape is not None:
+            if isinstance(not_shape, dict):
+                check_inline_keys(not_shape, dotted)
+                inner_sink: list[tuple[str, str]] = []
+                lexical_checks(not_shape, dotted, sink=inner_sink)
+                if inner_sink:
+                    inner = " OR ".join(
+                        f"({pred})" for _, pred in inner_sink
+                    )
+                    constraints.append(
+                        (
+                            f"not:{dotted}",
+                            f"{dotted} IS NOT NULL AND NOT ({inner})",
+                        )
+                    )
+                else:
+                    unsupported(
+                        "sh:not with no compilable constraints", dotted
+                    )
+            else:
+                unsupported("sh:not over a non-inline shape", dotted)
         if node_ref:
             for child in required_children(node_ref):
                 constraints.append(

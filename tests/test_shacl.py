@@ -377,3 +377,79 @@ def test_pattern_backslash_survives_sql_literal(spark):
         # "12x" and "ddd" both fail ^\d+$ ("ddd" passing would mean the
         # backslash was eaten and the regex degraded to ^d+$)
         assert stats == {"pattern:ex_n": 2}, ttl_pattern
+
+
+def test_and_not_inline_shapes(spark):
+    """sh:and = conjunction of inline one-column shapes; sh:not fires when
+    the value exists and CONFORMS to the inner shape."""
+    import pytest as _pytest
+
+    from kettle_jena_plugins_spark.operators.shacl import (
+        ShaclUnsupportedWarning,
+    )
+
+    ttl = """
+    @prefix ex:  <http://example.org/x#> .
+    @prefix sh:  <http://www.w3.org/ns/shacl#> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:code ;
+                      sh:and ( [ sh:datatype xsd:integer ; ]
+                               [ sh:minLength 2 ; ] ) ; ] ;
+        sh:property [ sh:path ex:name ;
+                      sh:not [ sh:pattern "^tmp" ; ] ; ] .
+    """
+    _, _, constraints = shapes_from_ttl(ttl)
+    reasons = sorted(r for r, _ in constraints)
+    assert reasons == ["datatype:ex_code", "min_length:ex_code", "not:ex_name"]
+    df = spark.createDataFrame(
+        [
+            ("12", "alice"),    # clean: integer, 2 chars, not tmp-prefixed
+            ("7", "bob"),       # and: too short
+            ("xx", "tmp_file"), # and: not integer; not: matches ^tmp
+            (None, None),       # vacuous everywhere
+        ],
+        "ex_code string, ex_name string",
+    )
+    spec = ValidationSpec(
+        require_keys=(), require_ts=False, constraints=constraints
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(df, spec).collect()
+    }
+    assert stats == {
+        "datatype:ex_code": 1,
+        "min_length:ex_code": 1,
+        "not:ex_name": 1,
+    }
+    # structural keys inside an inline shape warn, never silently drop
+    ttl_bad = """
+    @prefix ex: <http://example.org/x#> .
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:p ; sh:not [ sh:minCount 1 ; ] ; ] .
+    """
+    with _pytest.warns(ShaclUnsupportedWarning, match="sh:minCount inside"):
+        shapes_from_ttl(ttl_bad)
+
+
+def test_not_hasvalue_semantics(spark):
+    """sh:not [ sh:hasValue v ]: violation exactly when the value IS v
+    (hasValue's fires-on-absence inner form must invert correctly)."""
+    ttl = """
+    @prefix ex: <http://example.org/x#> .
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:kind ; sh:not [ sh:hasValue "spam" ; ] ; ] .
+    """
+    _, _, constraints = shapes_from_ttl(ttl)
+    df = spark.createDataFrame(
+        [("spam",), ("ham",), (None,)], "ex_kind string"
+    )
+    spec = ValidationSpec(
+        require_keys=(), require_ts=False, constraints=constraints
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(df, spec).collect()
+    }
+    assert stats == {"not:ex_kind": 1}
