@@ -526,6 +526,55 @@ t:MetaShape
 """
 
 
+_QUALIFIED_TTL = """
+@prefix t:  <http://example.org/transcript#> .
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+
+t:ConvShape
+    a sh:NodeShape ;
+    sh:targetClass t:Conv ;
+    sh:property [ sh:path t:tags ;
+                  sh:qualifiedValueShape [ sh:pattern "^tool:" ; ] ;
+                  sh:qualifiedMinCount 1 ;
+                  sh:qualifiedMaxCount 3 ; ] ;
+    sh:property [ sh:path t:first_role ;
+                  sh:or ( [ sh:pattern "^user$" ; ]
+                          [ sh:pattern "^assistant$" ; ] ) ; ] .
+"""
+
+
+def q_validate_qualified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL qualified cardinality + sh:or over per-conversation rollups:
+    each conversation's distinct tag set (tool:<name> / role markers) must
+    hold 1-3 tool tags (sh:qualifiedValueShape counted via a higher-order
+    size∘filter — no explode), and the opening role must be user or
+    assistant (sh:or over inline value shapes). The reference delegates
+    the full vocabulary to Jena's validator (JenaShaclStep.java:94-108);
+    these are the last two structural kinds this engine compiles."""
+    from kettle_jena_plugins_spark.operators.shacl import shapes_from_ttl
+    from kettle_jena_plugins_spark.operators.validate import ValidationSpec
+
+    ch = change_events(spark, sf_dir)
+    conv = ch.groupBy("conv_id").agg(
+        F.collect_set(
+            F.when(
+                F.col("tool").isNotNull(),
+                F.concat(F.lit("tool:"), F.col("tool")),
+            ).otherwise(F.col("role"))
+        ).alias("t_tags"),
+        F.min_by("role", "lsn").alias("t_first_role"),
+    )
+    shapes, any_of, constraints = shapes_from_ttl(_QUALIFIED_TTL)
+    spec = ValidationSpec(
+        require_keys=(),
+        require_ts=False,
+        shapes=shapes,
+        any_of=any_of,
+        constraints=constraints,
+    )
+    return dead_letter_stats(conv, spec)
+
+
 def q_validate_shacl_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The literal runtime-loaded shapes-graph path (JenaShaclStep.java:
     59-71): a SHACL Turtle document — targetClass node shape, simple and
@@ -1656,6 +1705,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "span_dedup": q_span_dedup,
     "dedup_hot_buckets": q_dedup_hot_buckets,
+    "validate_qualified": q_validate_qualified,
     "importance_sample": q_importance_sample,
     "training_order": q_training_order,
     "stratified_sample_exact": q_stratified_sample_exact,
@@ -3466,6 +3516,35 @@ SELECT reason, n FROM (
     -- tool is present, so the violation set is the tool-less turns
     SELECT 'class:doc.t_meta', COUNT(*)
     FROM changes WHERE tool IS NULL
+) WHERE n > 0
+""",
+    "validate_qualified": f"""
+WITH {CHANGES_ORACLE_CTE},
+conv AS (
+    SELECT conv_id,
+           list_distinct(list(CASE WHEN tool IS NOT NULL
+                                   THEN 'tool:' || tool
+                                   ELSE role END)) AS tags,
+           arg_min(role, lsn) AS first_role
+    FROM changes GROUP BY conv_id
+),
+counts AS (
+    SELECT conv_id,
+           len(list_filter(tags, x -> x LIKE 'tool:%')) AS n_tool,
+           first_role
+    FROM conv
+)
+SELECT reason, n FROM (
+    SELECT 'qualified_min:t_tags' AS reason, COUNT(*) AS n
+    FROM counts WHERE coalesce(n_tool, 0) < 1
+    UNION ALL
+    SELECT 'qualified_max:t_tags', COUNT(*)
+    FROM counts WHERE coalesce(n_tool, 0) > 3
+    UNION ALL
+    SELECT 'or:t_first_role', COUNT(*)
+    FROM counts WHERE first_role IS NOT NULL
+      AND NOT regexp_matches(first_role, '^user$')
+      AND NOT regexp_matches(first_role, '^assistant$')
 ) WHERE n > 0
 """,
 }

@@ -40,6 +40,13 @@ subset those shapes exercise —
   - ``sh:not [ … ]`` over an inline one-column shape → negation: fires
     when the value exists and CONFORMS to the inner shape (inner
     predicates OR-combined, reason ``not:<path>``)
+  - ``sh:or ( [ … ] … )`` over inline one-column shapes → the value must
+    conform to at least one member (reason ``or:<path>``; alternative
+    VALUES — the alternativePath machinery disjoins paths)
+  - ``sh:qualifiedValueShape [ … ]`` + ``sh:qualifiedMin/MaxCount`` over
+    ARRAY paths → count of conforming elements via
+    ``size(filter(arr, x -> conforms))`` — narrow higher-order
+    expression, no explode (reasons ``qualified_min/max:<path>``)
 
 compiled onto columns named by the same alias rule the construct operator
 uses (``prefix:local`` → ``prefix_local``), so a shapes file written
@@ -49,8 +56,9 @@ against a constructed document validates it directly:
     spec = ValidationSpec(shapes=shapes, any_of=any_of,
                           constraints=constraints, ...)
 
-Remaining out-of-scope vocabulary (qualified cardinality, sh:or over
-arbitrary shapes, structural keys inside inline sh:and/sh:not shapes) is
+Remaining out-of-scope vocabulary (named-shape references inside
+sh:and/or/not — inline shapes only — and structural keys inside inline
+shapes) is
 NOT silently dropped: each occurrence raises a ``ShaclUnsupportedWarning``
 (or ValueError with ``strict=True``) — the reference's Jena delegates to a
 full SHACL engine (JenaShaclStep.java:94-108), so a shapes file using
@@ -123,6 +131,10 @@ _SUPPORTED_KEYS = frozenset(
         "class",
         "and",
         "not",
+        "or",
+        "qualifiedValueShape",
+        "qualifiedMinCount",
+        "qualifiedMaxCount",
     )
 )
 
@@ -656,6 +668,95 @@ def shapes_from_ttl(
                     )
             else:
                 unsupported("sh:not over a non-inline shape", dotted)
+        # sh:or ( s1 s2 … ) over inline one-column shapes: the value must
+        # conform to AT LEAST ONE member — violation when it exists and
+        # every member shape has ≥1 violation predicate firing (AND over
+        # members of OR over that member's predicates). Distinct from the
+        # alternativePath any_of machinery, which disjoins PATHS.
+        or_list = prop.get(SH + "or", [None])[0]
+        if or_list is not None:
+            subs = or_list if isinstance(or_list, list) else [or_list]
+            member_preds: list[str] = []
+            compilable = True
+            for sub in subs:
+                if isinstance(sub, dict):
+                    check_inline_keys(sub, dotted)
+                    tmp: list[tuple[str, str]] = []
+                    lexical_checks(sub, dotted, sink=tmp)
+                    if tmp:
+                        member_preds.append(
+                            "(" + " OR ".join(f"({p})" for _, p in tmp) + ")"
+                        )
+                    else:
+                        compilable = False
+                        unsupported(
+                            "sh:or member with no compilable constraints",
+                            dotted,
+                        )
+                else:
+                    compilable = False
+                    unsupported("sh:or over a non-inline shape", dotted)
+            if compilable and member_preds:
+                constraints.append(
+                    (
+                        f"or:{dotted}",
+                        f"{dotted} IS NOT NULL AND "
+                        + " AND ".join(member_preds),
+                    )
+                )
+        # sh:qualifiedValueShape [ … ] + sh:qualifiedMin/MaxCount n:
+        # count the value nodes conforming to the inline shape. In this
+        # engine's relational carrying a multi-valued path is an ARRAY
+        # column, so the count is size(filter(arr, x -> conforms(x))) —
+        # a narrow higher-order expression, no explode, no shuffle. The
+        # inner shape compiles against the lambda variable; null elements
+        # never conform. A qualified constraint over a scalar path fails
+        # ANALYSIS loudly (filter() needs an array), mirroring sh:class's
+        # contract — never a silent under-validation. Per SHACL, an
+        # absent path contributes 0 conforming values (minCount fires).
+        qshape = prop.get(SH + "qualifiedValueShape", [None])[0]
+        qmin = prop.get(SH + "qualifiedMinCount", [None])[0]
+        qmax = prop.get(SH + "qualifiedMaxCount", [None])[0]
+        if qshape is not None or qmin is not None or qmax is not None:
+            if not isinstance(qshape, dict):
+                unsupported(
+                    "sh:qualifiedMin/MaxCount without an inline "
+                    "sh:qualifiedValueShape", dotted
+                )
+            else:
+                check_inline_keys(qshape, dotted)
+                tmp = []
+                lexical_checks(qshape, "x", sink=tmp)
+                if not tmp:
+                    unsupported(
+                        "sh:qualifiedValueShape with no compilable "
+                        "constraints", dotted
+                    )
+                else:
+                    viol = " OR ".join(f"({p})" for _, p in tmp)
+                    count = (
+                        f"size(filter({dotted}, "
+                        f"x -> x IS NOT NULL AND NOT ({viol})))"
+                    )
+                    if isinstance(qmin, int):
+                        constraints.append(
+                            (
+                                f"qualified_min:{dotted}",
+                                f"coalesce({count}, 0) < {qmin}",
+                            )
+                        )
+                    if isinstance(qmax, int):
+                        constraints.append(
+                            (
+                                f"qualified_max:{dotted}",
+                                f"coalesce({count}, 0) > {qmax}",
+                            )
+                        )
+                    if qmin is None and qmax is None:
+                        unsupported(
+                            "sh:qualifiedValueShape without a "
+                            "qualified count", dotted
+                        )
         if node_ref:
             for child in required_children(node_ref):
                 constraints.append(

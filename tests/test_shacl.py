@@ -429,8 +429,12 @@ def test_and_not_inline_shapes(spark):
     ex:S a sh:NodeShape ; sh:targetClass ex:T ;
         sh:property [ sh:path ex:p ; sh:not [ sh:minCount 1 ; ] ; ] .
     """
-    with _pytest.warns(ShaclUnsupportedWarning, match="sh:minCount inside"):
+    with _pytest.warns(ShaclUnsupportedWarning) as rec:
         shapes_from_ttl(ttl_bad)
+    msgs = [str(w.message) for w in rec]
+    assert any("sh:minCount inside" in m for m in msgs)
+    # and the not-shape itself ends up uncompilable — also loud
+    assert any("no compilable constraints" in m for m in msgs)
 
 
 def test_not_hasvalue_semantics(spark):
@@ -453,3 +457,84 @@ def test_not_hasvalue_semantics(spark):
         r["reason"]: r["n"] for r in dead_letter_stats(df, spec).collect()
     }
     assert stats == {"not:ex_kind": 1}
+
+
+def test_or_inline_shapes(spark):
+    """sh:or: value must conform to ≥1 member shape — violation only when
+    every member is violated."""
+    ttl = """
+    @prefix ex:  <http://example.org/x#> .
+    @prefix sh:  <http://www.w3.org/ns/shacl#> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:v ;
+                      sh:or ( [ sh:datatype xsd:integer ; ]
+                              [ sh:pattern "^n/a$" ; ] ) ; ] .
+    """
+    _, _, constraints = shapes_from_ttl(ttl)
+    assert [r for r, _ in constraints] == ["or:ex_v"]
+    df = spark.createDataFrame(
+        [("42",), ("n/a",), ("oops",), (None,)], "ex_v string"
+    )
+    spec = ValidationSpec(
+        require_keys=(), require_ts=False, constraints=constraints
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(df, spec).collect()
+    }
+    # only "oops" conforms to neither member; null is vacuous
+    assert stats == {"or:ex_v": 1}
+
+
+def test_qualified_cardinality_over_arrays(spark):
+    """sh:qualifiedValueShape + qualifiedMin/MaxCount over an ARRAY path:
+    counts elements conforming to the inline shape via a higher-order
+    filter — no explode."""
+    ttl = """
+    @prefix ex:  <http://example.org/x#> .
+    @prefix sh:  <http://www.w3.org/ns/shacl#> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:tags ;
+                      sh:qualifiedValueShape [ sh:pattern "^lang:" ; ] ;
+                      sh:qualifiedMinCount 1 ;
+                      sh:qualifiedMaxCount 2 ; ] .
+    """
+    _, _, constraints = shapes_from_ttl(ttl)
+    assert sorted(r for r, _ in constraints) == [
+        "qualified_max:ex_tags",
+        "qualified_min:ex_tags",
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, ["lang:en", "topic:x"]),              # 1 conforming: ok
+            (2, ["topic:x", None]),                   # 0 conforming: min fires
+            (3, ["lang:en", "lang:de", "lang:fr"]),   # 3: max fires
+            (4, None),                                # absent: 0 → min fires
+        ],
+        "id long, ex_tags array<string>",
+    )
+    spec = ValidationSpec(
+        require_keys=(), require_ts=False, constraints=constraints
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(df, spec).collect()
+    }
+    assert stats == {"qualified_min:ex_tags": 2, "qualified_max:ex_tags": 1}
+
+
+def test_qualified_without_shape_warns():
+    import pytest as _pytest
+
+    from kettle_jena_plugins_spark.operators.shacl import (
+        ShaclUnsupportedWarning,
+    )
+
+    ttl = """
+    @prefix ex: <http://example.org/x#> .
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:p ; sh:qualifiedMinCount 1 ; ] .
+    """
+    with _pytest.warns(ShaclUnsupportedWarning, match="qualifiedValueShape"):
+        shapes_from_ttl(ttl)
