@@ -560,6 +560,7 @@ def _probe_candidates(
     idx_b: DataFrame,
     new_b: DataFrame,
     max_bucket: int | None = MAX_BUCKET_DEFAULT,
+    idx_widths: DataFrame | None = None,
 ) -> DataFrame:
     """Directional LSH propose shared by the inline and saved-index paths:
     probe the index buckets with the (broadcast) new-batch buckets —
@@ -571,20 +572,30 @@ def _probe_candidates(
     counted only for PROBED buckets via a broadcast semi-join (buckets
     the batch doesn't touch produce no candidates anyway), and the
     resulting ok-bucket set (≤ |batch|·bands rows) rides the same
-    broadcast as the batch side. Cost: one extra narrow pass over the
-    index restricted to probed buckets, map-side-combined to a per-bucket
-    count — linear, no shuffle of index rows."""
+    broadcast as the batch side. With ``idx_widths`` (the persisted
+    (band, bucket, w) side table a saved index maintains — possibly
+    partial per-append rows, SUMmed here) the guard never touches index
+    bucket rows at all: it reads the widths table, which is
+    #distinct-buckets-sized, not #rows-sized. Without it, the fallback
+    is one extra narrow pass over the index restricted to probed
+    buckets, map-side-combined to a per-bucket count — linear, no
+    shuffle of index rows."""
     if max_bucket is not None:
         new_w = new_b.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_wn")
         )
+        source = idx_widths if idx_widths is not None else idx_b
         idx_w = (
-            idx_b.join(
+            source.join(
                 F.broadcast(new_w.select("band", "bucket")),
                 ["band", "bucket"],
             )
             .groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_wi"))
+            .agg(
+                (
+                    F.sum("w") if idx_widths is not None else F.count(F.lit(1))
+                ).alias("_wi")
+            )
         )
         ok = (
             idx_w.join(new_w, ["band", "bucket"])
@@ -616,7 +627,10 @@ def build_dedup_index(
     """Persist the corpus dedup index that ``dedup_against_saved_index``
     probes: ``{path}/buckets`` — (id, bucket) partitioned by band —
     ``{path}/shingles`` — (id, sh) hashed n-gram sets for the verify
-    stage — and ``{path}/meta.json`` recording {n, k, bands} so probes
+    stage — ``{path}/widths`` — per-(band, bucket) row counts, so the
+    hot-bucket guard at probe time reads a small side table instead of
+    re-counting history (appends add partial counts; probes SUM) — and
+    ``{path}/meta.json`` recording {n, k, bands} so probes
     hash their batch with the exact parameters the index was built with
     (a silent mismatch would return an empty candidate set). Built ONCE
     per corpus (or incrementally appended per accepted batch); after
@@ -627,14 +641,33 @@ def build_dedup_index(
     import os
 
     sigs = minhash_signatures(df, text_col, id_col, n, k)
-    band_buckets(sigs, k, bands).write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(f"{path}/buckets")
+    _write_banded_with_widths(band_buckets(sigs, k, bands), path, "overwrite")
     hashed_shingles(df, text_col, id_col, n).write.mode("overwrite").parquet(
         f"{path}/shingles"
     )
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump({"n": n, "k": k, "bands": bands}, f)
+
+
+def _write_banded_with_widths(
+    banded: DataFrame, path: str, mode: str
+) -> None:
+    """Write bucket rows AND their per-(band, bucket) counts — the widths
+    side table the probe-time hot-bucket guard reads instead of
+    re-counting history. Appends write PARTIAL counts for the batch only
+    (probes SUM per bucket), so an append stays O(batch) regardless of
+    index size. The banded frame is persisted across the two writes so
+    the signature agg runs once."""
+    banded = banded.persist()
+    try:
+        banded.write.mode(mode).partitionBy("band").parquet(
+            f"{path}/buckets"
+        )
+        banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("w")
+        ).write.mode(mode).partitionBy("band").parquet(f"{path}/widths")
+    finally:
+        banded.unpersist()
 
 
 def append_to_dedup_index(
@@ -656,9 +689,7 @@ def append_to_dedup_index(
         meta = json.load(f)
     n, k, bands = meta["n"], meta["k"], meta["bands"]
     sigs = minhash_signatures(df, text_col, id_col, n, k)
-    band_buckets(sigs, k, bands).write.mode("append").partitionBy(
-        "band"
-    ).parquet(f"{path}/buckets")
+    _write_banded_with_widths(band_buckets(sigs, k, bands), path, "append")
     hashed_shingles(df, text_col, id_col, n).write.mode("append").parquet(
         f"{path}/shingles"
     )
@@ -691,7 +722,14 @@ def dedup_against_saved_index(
     new_b = band_buckets(
         minhash_signatures(new_df, text_col, id_col, n, k), k, bands
     )
-    cand = _probe_candidates(idx_b, new_b, max_bucket)
+    # hot-bucket guard reads the persisted widths side table when present
+    # (bucket-count-sized, so the guard costs O(distinct buckets probed)
+    # instead of a second pass over index rows); pre-widths indexes fall
+    # back to counting bucket rows
+    widths = None
+    if os.path.isdir(f"{index_path}/widths"):
+        widths = spark.read.parquet(f"{index_path}/widths")
+    cand = _probe_candidates(idx_b, new_b, max_bucket, idx_widths=widths)
     # ids are expected to be disjoint; if a batch re-uses an index id the
     # batch's text wins (anti-join, broadcast by AQE — batch side is small)
     sh_new = hashed_shingles(new_df, text_col, id_col, n)

@@ -173,6 +173,7 @@ def near_dup_pairs_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    max_collect_rows: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via Arrow-batched numpy matmul:
     the corpus matrix (normalized, float64) is broadcast to executors; each
@@ -184,11 +185,22 @@ def near_dup_pairs_vectorized(
     SMALL-CORPUS fast path: collects the whole corpus to the driver
     (n·dim·8 bytes must fit driver + executor memory). The scale-safe
     default for unknown corpus sizes is near_dup_pairs_blocked — same exact
-    result, no driver collect, bounded task memory."""
+    result, no driver collect, bounded task memory. To keep an unknown
+    corpus from silently reaching the driver collect, corpora over
+    ``max_collect_rows`` (default 1M ≈ tens of MB at typical dims) raise —
+    pass a higher limit only when the driver is provisioned for it."""
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
+    n = df.count()
+    if n > max_collect_rows:
+        raise ValueError(
+            f"near_dup_pairs_vectorized collects the corpus to the driver "
+            f"({n} rows > max_collect_rows={max_collect_rows}); use "
+            "near_dup_pairs_blocked (exact, no collect) or raise the limit "
+            "explicitly"
+        )
     pdf = df.select(id_col, vec_col).toPandas()
     if pdf.empty:
         return spark.createDataFrame([], "id_a long, id_b long, cos double")

@@ -377,3 +377,47 @@ def test_incremental_probe_inherits_hot_bucket_guard(spark, tmp_path):
         spark, batch, path, max_bucket=None
     )
     assert saved_uncapped.count() == 30 + 1
+
+
+def test_saved_index_widths_sum_across_appends(spark, tmp_path):
+    """The persisted widths side table makes the probe-time guard
+    O(distinct buckets) instead of a second pass over index rows, and
+    appends write PARTIAL counts that probes SUM: a bucket that crosses
+    the cap only after an append must stop matching."""
+    from kettle_jena_plugins_spark.operators.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        dedup_against_saved_index,
+    )
+
+    boiler = "all rights reserved contact us privacy policy terms of use"
+    index = spark.createDataFrame(
+        [(i, boiler) for i in range(15)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "widx")
+    build_dedup_index(index, path)
+    # widths side table exists and counts the build
+    w = spark.read.parquet(f"{path}/widths")
+    assert {r["w"] for r in w.collect()} == {15}
+    batch = spark.createDataFrame([(9000, boiler)], "doc_id long, text string")
+    # 15 index + 1 batch = 16 ≤ 20: the boilerplate still matches
+    assert dedup_against_saved_index(spark, batch, path, max_bucket=20).count() == 15
+    # append 10 more copies → widths rows are PARTIAL (15 + 10)
+    more = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    append_to_dedup_index(more, path)
+    per_bucket = (
+        spark.read.parquet(f"{path}/widths")
+        .groupBy("band", "bucket")
+        .sum("w")
+        .collect()
+    )
+    assert {r["sum(w)"] for r in per_bucket} == {25}
+    # summed width 25 + 1 > 20 → the guard now drops the bucket
+    assert dedup_against_saved_index(spark, batch, path, max_bucket=20).count() == 0
+    # and uncapped still sees all 25 copies
+    assert (
+        dedup_against_saved_index(spark, batch, path, max_bucket=None).count()
+        == 25
+    )

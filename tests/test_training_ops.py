@@ -874,3 +874,22 @@ def test_ann_index_lifecycle_build_probe_append(spark, tmp_path):
     with pytest.raises(ValueError, match="dim"):
         ann_index_topk(wrong, path, k=2, nprobe=2)
     em.unpersist()
+
+
+def test_near_dup_vectorized_collect_guard(spark):
+    """The small-corpus fast path must refuse to driver-collect an
+    oversized corpus (scale-safe default is the blocked path)."""
+    from kettle_jena_plugins_spark.operators.similarity import (
+        near_dup_pairs_vectorized,
+    )
+
+    em = embeds(spark)
+    with pytest.raises(ValueError, match="max_collect_rows"):
+        near_dup_pairs_vectorized(em, max_collect_rows=10)
+    # within the limit the path still works
+    assert (
+        near_dup_pairs_vectorized(
+            em.limit(20), threshold=0.5, max_collect_rows=100
+        ).count()
+        >= 0
+    )
