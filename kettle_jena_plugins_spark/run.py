@@ -109,6 +109,11 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--index", required=True, help="index directory")
     ix.add_argument("--threshold", type=float, default=0.8)
     ix.add_argument("--limit", type=int, default=20)
+    ix.add_argument(
+        "--max-bucket", type=int, default=None,
+        help="hot-bucket guard width cap for probes (default "
+        "MAX_BUCKET_DEFAULT; 0 disables — see operators/dedup.py)",
+    )
 
     ann = sub.add_parser("ann")
     ann.add_argument("action", choices=("build", "probe", "append"))
@@ -254,8 +259,16 @@ def main(argv: list[str] | None = None) -> int:
             t0 = time.time()
             # collect once — count() + limit().collect() would each re-run
             # the whole propose+verify DAG the index exists to keep cheap
+            from .operators.dedup import MAX_BUCKET_DEFAULT
+
+            cap = (
+                MAX_BUCKET_DEFAULT
+                if args.max_bucket is None
+                else (None if args.max_bucket == 0 else args.max_bucket)
+            )
             rows = dedup_against_saved_index(
-                spark, docs, args.index, threshold=args.threshold
+                spark, docs, args.index, threshold=args.threshold,
+                max_bucket=cap,
             ).collect()
             for r in rows[: args.limit]:
                 print(json.dumps(r.asDict(), default=str))

@@ -598,3 +598,42 @@ def test_maxwell_table_filter_and_unknown_type(spark):
     assert [r["conv_id"] for r in out] == ["c1", "c2", "c3"]
     assert [r["op"] for r in out] == ["I", "I", None]
     assert out[0]["lsn"] == (1 << 40) + 10
+
+
+def test_cli_index_probe_max_bucket(spark, tmp_path, capsys):
+    """`run index probe --max-bucket N`: the hot-bucket guard is operator-
+    tunable from the CLI (0 disables; default = MAX_BUCKET_DEFAULT)."""
+    import json as _json
+
+    from kettle_jena_plugins_spark.run import main
+
+    boiler = "all rights reserved contact us privacy policy terms of use"
+    spark.createDataFrame(
+        [(i, boiler) for i in range(30)], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "idx_docs"))
+    spark.createDataFrame(
+        [(900, boiler)], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "batch"))
+    assert main(
+        ["index", "build", "--docs", str(tmp_path / "idx_docs"),
+         "--index", str(tmp_path / "idx")]
+    ) == 0
+    capsys.readouterr()
+
+    def probe(*extra):
+        rc = main(
+            ["index", "probe", "--docs", str(tmp_path / "batch"),
+             "--index", str(tmp_path / "idx"), *extra]
+        )
+        assert rc == 0
+        lines = [
+            _json.loads(ln)
+            for ln in capsys.readouterr().out.strip().splitlines()
+            if ln.startswith("{")
+        ]
+        return lines[-1]["duplicates"]
+
+    # 30 index + 1 batch > 20: guard drops the boilerplate bucket
+    assert probe("--max-bucket", "20") == 0
+    # guard disabled: all 30 copies match
+    assert probe("--max-bucket", "0") == 30
