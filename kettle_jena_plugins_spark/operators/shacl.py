@@ -765,6 +765,46 @@ def shapes_from_ttl(
                         f"{dotted} IS NOT NULL AND {dotted}.{child} IS NULL",
                     )
                 )
+            inline_node_shape(node_ref, dotted, set())
+
+    def inline_node_shape(ref: str, base: str, seen: set[str]) -> None:
+        """Compile a referenced helper shape's VALUE constraints under the
+        parent path: every lexical/term kind on a simple child path
+        lands as a normal constraint on ``base.child`` (null-safe — the
+        predicates fire only when the child exists, so absent parents
+        stay vacuous, per SHACL). Nested ``sh:node`` references recurse
+        (cycle-guarded); before round 5 only the minCount children were
+        inlined and a helper shape's sh:datatype/sh:pattern silently
+        under-validated."""
+        if ref in seen:
+            return
+        seen.add(ref)
+        for prop2 in node_shapes.get(ref, {}).get(SH + "property", []):
+            if not isinstance(prop2, dict):
+                continue
+            path2 = prop2.get(SH + "path", [None])[0]
+            if not isinstance(path2, str):
+                continue
+            for key in prop2:
+                if (
+                    key.startswith(SH)
+                    and key not in _SUPPORTED_KEYS
+                    and key not in _ANNOTATION_KEYS
+                ):
+                    unsupported(key.replace(SH, "sh:"), f"{base}.{seg(path2)}")
+            lexical_checks(prop2, f"{base}.{seg(path2)}")
+            ref2 = prop2.get(SH + "node", [None])[0]
+            if isinstance(ref2, str) and ref2 in node_shapes:
+                child2 = f"{base}.{seg(path2)}"
+                for grand in required_children(ref2):
+                    constraints.append(
+                        (
+                            f"node:{child2}.{grand}",
+                            f"{child2} IS NOT NULL AND "
+                            f"{child2}.{grand} IS NULL",
+                        )
+                    )
+                inline_node_shape(ref2, child2, seen)
 
     for s, d in node_shapes.items():
         if SH + "targetClass" not in d:

@@ -538,3 +538,96 @@ def test_qualified_without_shape_warns():
     """
     with _pytest.warns(ShaclUnsupportedWarning, match="qualifiedValueShape"):
         shapes_from_ttl(ttl)
+
+
+def test_node_shape_lexical_constraints_inline(spark):
+    """A helper shape referenced via sh:node contributes its VALUE
+    constraints (datatype/pattern/…) under the parent path — not just its
+    minCount children — including through nested sh:node references.
+    Absent parents stay vacuous."""
+    from kettle_jena_plugins_spark.operators.construct import (
+        PropertyMapping,
+        construct_doc,
+    )
+
+    ttl = """
+    @prefix t:   <http://example.org/transcript#> .
+    @prefix sh:  <http://www.w3.org/ns/shacl#> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+    t:TurnShape a sh:NodeShape ; sh:targetClass t:Turn ;
+        sh:property [ sh:path t:meta ; sh:node t:MetaShape ; ] .
+
+    t:MetaShape a sh:NodeShape ;
+        sh:property [ sh:path t:tool ; sh:minCount 1 ;
+                      sh:pattern "^[a-z]+$" ; ] ;
+        sh:property [ sh:path t:prov ; sh:node t:ProvShape ; ] .
+
+    t:ProvShape a sh:NodeShape ;
+        sh:property [ sh:path t:lsn ; sh:datatype xsd:integer ; ] .
+    """
+    shapes, any_of, constraints = shapes_from_ttl(ttl, root="doc")
+    reasons = {r for r, _ in constraints}
+    assert reasons == {
+        "node:doc.t_meta.t_tool",
+        "pattern:doc.t_meta.t_tool",
+        "datatype:doc.t_meta.t_prov.t_lsn",
+    }
+    df = spark.createDataFrame(
+        [
+            ("r1", "bash", "7"),    # conforms
+            ("r2", "Bash!", "7"),   # pattern fires
+            ("r3", "grep", "x7"),   # nested datatype fires
+            ("r4", None, None),     # minCount node: fires; lexical vacuous
+        ],
+        "id string, tool string, lsn string",
+    )
+    docs = construct_doc(
+        df,
+        uri_prefix="ex:",
+        uri_fields=["id"],
+        mappings=[
+            PropertyMapping(
+                None,
+                "t:meta",
+                children=(
+                    PropertyMapping("tool", "t:tool"),
+                    PropertyMapping(
+                        None,
+                        "t:prov",
+                        children=(PropertyMapping("lsn", "t:lsn"),),
+                    ),
+                ),
+            ),
+        ],
+        namespaces={"t": "http://example.org/transcript#"},
+    )
+    spec = ValidationSpec(
+        require_keys=(), require_ts=False,
+        shapes=shapes, any_of=any_of, constraints=constraints,
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(docs, spec).collect()
+    }
+    assert stats == {
+        "node:doc.t_meta.t_tool": 1,
+        "pattern:doc.t_meta.t_tool": 1,
+        "datatype:doc.t_meta.t_prov.t_lsn": 1,
+    }
+
+
+def test_node_shape_cycle_guard():
+    """Mutually-referencing helper shapes must not hang the compiler."""
+    ttl = """
+    @prefix t:  <http://example.org/transcript#> .
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    t:A a sh:NodeShape ; sh:targetClass t:T ;
+        sh:property [ sh:path t:x ; sh:node t:B ; ] .
+    t:B a sh:NodeShape ;
+        sh:property [ sh:path t:y ; sh:node t:C ; ] .
+    t:C a sh:NodeShape ;
+        sh:property [ sh:path t:y ; sh:node t:B ; ] .
+    """
+    shapes, any_of, constraints = shapes_from_ttl(ttl)
+    # terminates; no lexical constraints to emit
+    assert constraints == ()
