@@ -695,6 +695,30 @@ def append_to_dedup_index(
     )
 
 
+def compact_dedup_index(spark, path: str) -> dict:
+    """Maintenance for a ``build_dedup_index`` layout: rewrite the widths
+    side table as ONE summed row per (band, bucket). Appends add partial
+    rows (one parquet file each), and probes SUM them — so compaction
+    changes no result, it only bounds the widths table's file and row
+    count after many ingest cycles (run on the same cadence as lake
+    compaction). Staged rewrite: new files land in ``widths_tmp`` and
+    swap in only after the write commits."""
+    import os
+    import shutil
+
+    w = (
+        spark.read.parquet(f"{path}/widths")
+        .groupBy("band", "bucket")
+        .agg(F.sum("w").alias("w"))
+    )
+    tmp = f"{path}/widths_tmp"
+    w.write.mode("overwrite").partitionBy("band").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(f"{path}/widths")
+    os.rename(tmp, f"{path}/widths")
+    return {"path": path, "width_rows": n}
+
+
 def dedup_against_saved_index(
     spark,
     new_df: DataFrame,

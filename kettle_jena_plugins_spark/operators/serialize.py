@@ -255,11 +255,12 @@ def _ntriples_collection_lines(
     src = F.col(spec.column)
     arr = F.filter(src, lambda e: e.isNotNull())
     n = F.size(arr)
+    # full 128-bit digest: a truncated label would birthday-collide across
+    # subjects at crawl scale (48 bits ≈ collisions from ~16M lists) and a
+    # label collision MERGES two chains — corrupt output, not a slow path
     base = F.concat(
         F.lit("_:c"),
-        F.substring(
-            F.md5(F.concat(F.col(subject_col), F.lit(prop))), 1, 12
-        ),
+        F.md5(F.concat(F.col(subject_col), F.lit(prop))),
         F.lit("e"),
     )
 

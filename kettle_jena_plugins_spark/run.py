@@ -104,8 +104,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="resolve multi-layer buckets before expiring")
 
     ix = sub.add_parser("index")
-    ix.add_argument("action", choices=("build", "probe", "append"))
-    ix.add_argument("--docs", required=True, help="parquet of (doc_id, text)")
+    ix.add_argument(
+        "action", choices=("build", "probe", "append", "compact")
+    )
+    ix.add_argument(
+        "--docs",
+        help="parquet of (doc_id, text); required except for compact",
+    )
     ix.add_argument("--index", required=True, help="index directory")
     ix.add_argument("--threshold", type=float, default=0.8)
     ix.add_argument("--limit", type=int, default=20)
@@ -240,9 +245,18 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.dedup import (
             append_to_dedup_index,
             build_dedup_index,
+            compact_dedup_index,
             dedup_against_saved_index,
         )
 
+        if args.action == "compact":
+            t0 = time.time()
+            out = compact_dedup_index(spark, args.index)
+            out["wall_sec"] = round(time.time() - t0, 2)
+            print(json.dumps(out))
+            return 0
+        if not args.docs:
+            raise SystemExit("index: --docs is required for this action")
         docs = spark.read.parquet(args.docs)
         if args.action in ("build", "append"):
             t0 = time.time()

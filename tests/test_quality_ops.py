@@ -421,3 +421,58 @@ def test_saved_index_widths_sum_across_appends(spark, tmp_path):
         dedup_against_saved_index(spark, batch, path, max_bucket=None).count()
         == 25
     )
+
+
+def test_compact_dedup_index_preserves_probe(spark, tmp_path, capsys):
+    """Compaction rewrites partial width rows as one summed row per
+    bucket — probe results are identical before and after; the CLI
+    `index compact` action drives it."""
+    import json as _json
+
+    from kettle_jena_plugins_spark.operators.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        dedup_against_saved_index,
+    )
+    from kettle_jena_plugins_spark.run import main
+
+    boiler = "all rights reserved contact us privacy policy terms of use"
+    uniq = "an entirely original sentence about migrating storks in autumn"
+    path = str(tmp_path / "cidx")
+    build_dedup_index(
+        spark.createDataFrame(
+            [(i, boiler) for i in range(15)] + [(500, uniq)],
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    append_to_dedup_index(
+        spark.createDataFrame(
+            [(100 + i, boiler) for i in range(10)],
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    batch = spark.createDataFrame(
+        [(9000, boiler), (9001, uniq)], "doc_id long, text string"
+    )
+
+    def probe_set(cap):
+        return {
+            (r["new_doc_id"], r["index_doc_id"])
+            for r in dedup_against_saved_index(
+                spark, batch, path, max_bucket=cap
+            ).collect()
+        }
+
+    before_capped = probe_set(20)
+    before_open = probe_set(None)
+    n_rows_before = spark.read.parquet(f"{path}/widths").count()
+    rc = main(["index", "compact", "--index", path])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["width_rows"] < n_rows_before  # partials folded
+    w = spark.read.parquet(f"{path}/widths")
+    assert w.count() == w.select("band", "bucket").distinct().count()
+    assert probe_set(20) == before_capped
+    assert probe_set(None) == before_open
