@@ -307,6 +307,33 @@ def q_cdc_maxwell_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_wal2json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third wire-format round trip (wal2json v2, the de-facto Postgres
+    logical-decoding JSON): render the change stream as per-change
+    envelopes (action I|U|D, name/type/value column arrays, textual X/Y
+    XLogRecPtr lsn, microsecond "+00" timestamp), parse them back
+    (sources/wal2json.py) and LWW-reduce the PARSED stream. Unlike
+    Maxwell, wal2json preserves microsecond ts, so the oracle is the
+    plain-columns LWW SQL — a green hash proves the positional-free
+    column-array image, the hex lsn, and the timestamp text all survive
+    the trip in LWW order."""
+    from kettle_jena_plugins_spark.sources.wal2json import (
+        parse_wal2json,
+        to_wal2json,
+    )
+
+    ch = change_events(spark, sf_dir)
+    parsed = parse_wal2json(to_wal2json(ch), table="transcripts")
+    return lww_state(parsed).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
 def q_cdc_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order accounting per conversation shard: how many events arrive
     with an event time below the shard's running maximum (WAL/lsn order), and
@@ -1685,6 +1712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # and eval harnesses whose operator family already has a checked row above.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_maxwell_parse": q_cdc_maxwell_parse,
+    "cdc_wal2json_parse": q_cdc_wal2json_parse,
     "cdc_lww_state_window": q_cdc_lww_state_window,
     "cdc_final_op_counts": q_cdc_final_op_counts,
     "cdc_lag_metrics": q_cdc_lag_metrics,
@@ -3215,6 +3243,13 @@ SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """,
     "cdc_debezium_parse": _LWW_RANKED
+    + """
+SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+    # cdc_wal2json_parse: wal2json preserves microsecond ts, so the oracle
+    # is the plain-columns LWW ranking — identical to cdc_debezium_parse.
+    "cdc_wal2json_parse": _LWW_RANKED
     + """
 SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
 FROM ranked WHERE rn = 1 AND op <> 'D'

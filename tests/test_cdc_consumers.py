@@ -600,6 +600,82 @@ def test_maxwell_table_filter_and_unknown_type(spark):
     assert out[0]["lsn"] == (1 << 40) + 10
 
 
+# ---------------------------------------------------------------- wal2json
+
+
+def test_wal2json_round_trip_exact(spark):
+    """insert/update/delete round-trip BIT-identically — microsecond ts
+    (unlike Maxwell) and the full 64-bit XLogRecPtr both survive; delete
+    carries its image through `identity` (REPLICA IDENTITY FULL)."""
+    from kettle_jena_plugins_spark.sources.wal2json import (
+        parse_wal2json,
+        to_wal2json,
+    )
+
+    us = datetime.datetime(2026, 1, 1, 0, 0, 1, 123456)
+    ch = _changes(
+        spark,
+        [
+            ("I", 1, us, "c1", 0, "user", 'sa"y\n\\x', "t"),
+            ("U", 2, _ts(2), "c1", 0, "user", "v2", None),
+            ("D", 3, _ts(3), "c1", 0, "user", "gone", None),
+            # lsn above 2^32: hi/lo hex halves must recompose exactly
+            ("U", (0xAB << 32) + 0x16B2D88, _ts(4), "c2", 1, "bot", "far",
+             None),
+        ],
+    )
+    back = parse_wal2json(to_wal2json(ch)).orderBy("lsn").collect()
+    orig = ch.orderBy("lsn").collect()
+    for b, o in zip(back, orig):
+        assert tuple(b) == tuple(o)
+
+
+def test_wal2json_framing_filter_and_unknown_action(spark):
+    """B/C transaction framing is dropped; other tables filter out;
+    native JSON number values parse; T (truncate) → null op for the
+    dead-letter split; lsn hex halves parse."""
+    from kettle_jena_plugins_spark.sources.wal2json import parse_wal2json
+
+    raw = spark.createDataFrame(
+        [
+            ('{"action":"B","lsn":"0/1"}',),
+            ('{"action":"I","schema":"public","table":"transcripts",'
+             '"columns":[{"name":"conv_id","type":"text","value":"c1"},'
+             '{"name":"turn_idx","type":"integer","value":3},'
+             '{"name":"role","type":"text","value":"u"},'
+             '{"name":"text","type":"text","value":"x"},'
+             '{"name":"tool","type":"text","value":null}],'
+             '"lsn":"0/16B2D88",'
+             '"timestamp":"2026-01-01 00:00:01.000002+00"}',),
+            # other table on the same slot: must be filtered out
+            ('{"action":"I","schema":"public","table":"users",'
+             '"columns":[{"name":"conv_id","type":"text","value":"zz"}],'
+             '"lsn":"0/2","timestamp":"2026-01-01 00:00:01+00"}',),
+            # delete image arrives via identity
+            ('{"action":"D","schema":"public","table":"transcripts",'
+             '"identity":[{"name":"conv_id","type":"text","value":"c1"},'
+             '{"name":"turn_idx","type":"integer","value":3}],'
+             '"lsn":"AB/0",'
+             '"timestamp":"2026-01-01 00:00:02.000000+00"}',),
+            # truncate -> null op for the dead-letter split
+            ('{"action":"T","schema":"public","table":"transcripts",'
+             '"lsn":"AB/1","timestamp":"2026-01-01 00:00:03.000000+00"}',),
+            ('{"action":"C","lsn":"AB/2"}',),
+            (None,),
+        ],
+        "value string",
+    )
+    out = parse_wal2json(raw, table="transcripts").orderBy("lsn").collect()
+    assert [r["op"] for r in out] == ["I", "D", None]
+    ins = out[0]
+    assert (ins["conv_id"], ins["turn_idx"], ins["role"], ins["text"],
+            ins["tool"]) == ("c1", 3, "u", "x", None)
+    assert ins["lsn"] == 0x16B2D88
+    assert ins["ts"] == datetime.datetime(2026, 1, 1, 0, 0, 1, 2)
+    assert out[1]["lsn"] == 0xAB << 32
+    assert out[1]["conv_id"] == "c1" and out[1]["turn_idx"] == 3
+
+
 def test_cli_index_probe_max_bucket(spark, tmp_path, capsys):
     """`run index probe --max-bucket N`: the hot-bucket guard is operator-
     tunable from the CLI (0 disables; default = MAX_BUCKET_DEFAULT)."""
