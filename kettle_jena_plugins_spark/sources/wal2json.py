@@ -29,6 +29,14 @@ Differences from the other two dialects that matter to this engine:
   render invert exactly and LWW's (ts, lsn) order is preserved at full
   microsecond precision (unlike Maxwell's second-granularity ts).
 
+Non-goal: wal2json format-version 1 (whole transactions grouped under a
+``change`` array with positional columnnames/columnvalues and only a
+transaction-level ``nextlsn``) — it carries no per-change LSN, so
+mapping it onto this engine's (ts, lsn) LWW total order would require
+inventing intra-transaction positions; v2 (one change per message,
+``include-lsn``) is the streaming-friendly configuration and the one
+this source speaks.
+
 Scale design mirrors debezium.py: one ``from_json`` with an explicit
 schema in the scan stage (parse ONCE into a struct, filter and project
 from the parsed column — maxwell.py's CSE lesson), whole-stage codegen,
