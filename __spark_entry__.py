@@ -334,6 +334,34 @@ def q_cdc_wal2json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_canal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth wire-format round trip (Alibaba Canal flat messages, the
+    third MySQL CDC envelope next to Debezium and Maxwell): render the
+    change stream as Canal JSON (type INSERT|UPDATE|DELETE, millisecond
+    ``es``, multi-row ``data`` arrays of STRINGIFIED values), parse it
+    back (sources/canal.py — posexplode + string casts) and LWW-reduce
+    the PARSED stream. Canal carries no binlog position, so order is the
+    engine-derived ``id·2²⁰ + pos`` composite; the fixture renderer packs
+    one row per message with id = lsn, so the original lsn is recovered
+    exactly by the inverse shift. Canal coarsens ts to MILLISECONDS, so
+    the oracle ranks by the identically-coarsened (ms-ts, lsn) order."""
+    from kettle_jena_plugins_spark.sources.canal import (
+        parse_canal,
+        to_canal_json,
+    )
+
+    ch = change_events(spark, sf_dir)
+    parsed = parse_canal(to_canal_json(ch), table="transcripts")
+    return lww_state(parsed).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.shiftrightunsigned(F.col("lsn"), 20).alias("last_lsn"),
+    )
+
+
 def q_cdc_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order accounting per conversation shard: how many events arrive
     with an event time below the shard's running maximum (WAL/lsn order), and
@@ -1713,6 +1741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_maxwell_parse": q_cdc_maxwell_parse,
     "cdc_wal2json_parse": q_cdc_wal2json_parse,
+    "cdc_canal_parse": q_cdc_canal_parse,
     "cdc_lww_state_window": q_cdc_lww_state_window,
     "cdc_final_op_counts": q_cdc_final_op_counts,
     "cdc_lag_metrics": q_cdc_lag_metrics,
@@ -3262,6 +3291,28 @@ WITH {CHANGES_ORACLE_CTE},
 coarse AS (
     SELECT op, lsn,
            to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS cts,
+           conv_id, turn_idx, role, text, tool
+    FROM changes
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY conv_id, turn_idx
+               ORDER BY cts DESC, lsn DESC, op DESC
+           ) AS rn
+    FROM coarse
+)
+SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+    # cdc_canal_parse: Canal's es is MILLISECOND-granularity, so the oracle
+    # ranks by the identically coarsened (ms-ts, lsn) order — the derived
+    # (id, pos) composite preserves lsn order, and the query's inverse
+    # shift recovers the original lsn value for last_lsn.
+    "cdc_canal_parse": f"""
+WITH {CHANGES_ORACLE_CTE},
+coarse AS (
+    SELECT op, lsn, epoch_ms(ts) AS cts,
            conv_id, turn_idx, role, text, tool
     FROM changes
 ),

@@ -1,0 +1,201 @@
+"""Alibaba Canal flat-message envelope source — the fourth CDC wire
+dialect next to Debezium (sources/debezium.py), Maxwell
+(sources/maxwell.py) and wal2json (sources/wal2json.py).
+
+Canal tails the MySQL binlog and (in its common ``flatMessage=true``
+Kafka/RocketMQ configuration) emits one JSON object per binlog
+STATEMENT, with an ARRAY of row images::
+
+    {"id": 7, "database": "app", "table": "transcripts",
+     "pkNames": ["conv_id","turn_idx"], "isDdl": false,
+     "type": "INSERT|UPDATE|DELETE", "es": 1589373515000,
+     "ts": 1589373515477, "sql": "",
+     "sqlType": {"conv_id": 12, ...}, "mysqlType": {"conv_id": "varchar(64)", ...},
+     "data": [{row}, {row}, ...], "old": [{changed cols}, ...]}
+
+Differences from the other dialects that matter to this engine:
+
+- **Multi-row messages.** ``data`` carries every row a statement touched,
+  in statement order. The engine flattens with ``posexplode`` — one
+  narrow generator in the scan stage, no shuffle.
+- **Every value is a JSON string.** Canal stringifies row values
+  (``"turn_idx": "3"``, NULL → JSON null), so the row image is decoded
+  as ``map<string,string>`` and numeric columns are cast back — the
+  mysqlType/sqlType side maps describe the source types but the
+  engine's target schema (BASELINE.json input_hint) is authoritative.
+- **No binlog position in the envelope.** Unlike Maxwell's
+  ``file:offset`` there is nothing positional per row; the monotone
+  facts are the message ``id`` (canal's per-instance batch counter,
+  assigned in binlog order) and the row's index inside ``data``. The
+  engine derives ``lsn = id·2²⁰ + pos`` — total order across messages
+  and within a statement, with 1M-row statement headroom. ``es``
+  (binlog execute time) is MILLISECOND granularity, so LWW order is
+  (ms-coarsened ts, derived lsn) — the lsn tiebreak carries
+  intra-millisecond ordering exactly as in the Maxwell case (binlog
+  order IS MySQL's commit order; ts is informational).
+- ``data`` carries the FULL image for every op (deletes included);
+  ``old`` holds only changed columns' previous values and is not needed
+  for LWW apply.
+- DDL messages (``isDdl: true`` — type CREATE/ALTER/ERASE/QUERY) carry
+  no row images and are dropped at the scan; unknown DML types become
+  null ops for the dead-letter split (operators/validate.py).
+
+Scale design mirrors the other dialect modules: one ``from_json`` with
+an explicit schema + one ``posexplode`` is a single whole-stage-codegen
+projection in the scan stage — no shuffle, no Python. ``to_canal_json``
+is the deterministic fixture renderer (FIXTURES.md policy) used by the
+round-trip contract query; it emits one row per message with
+``id = lsn`` so the composite derivation is exactly invertible
+(``lsn >> 20``) — the multi-row array path is covered by handcrafted
+fixtures in tests/test_cdc_consumers.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_ROW_MAP = T.MapType(T.StringType(), T.StringType())
+
+CANAL_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("database", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("pkNames", T.ArrayType(T.StringType()), True),
+        T.StructField("isDdl", T.BooleanType(), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("es", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("sql", T.StringType(), True),
+        T.StructField(
+            "sqlType", T.MapType(T.StringType(), T.IntegerType()), True
+        ),
+        T.StructField(
+            "mysqlType", T.MapType(T.StringType(), T.StringType()), True
+        ),
+        T.StructField("data", T.ArrayType(_ROW_MAP), True),
+        T.StructField("old", T.ArrayType(_ROW_MAP), True),
+    ]
+)
+
+# 2^20 rows of statement headroom keeps the (id, pos) composite monotone;
+# canal batches are bounded far below this (canal.instance.memory limits)
+_ROW_SHIFT = 1 << 20
+
+_OP_IN = {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}
+
+
+def parse_canal(
+    raw: DataFrame, value_col: str = "value", table: str | None = None
+) -> DataFrame:
+    """Canal flat-message JSON strings → canonical change events.
+
+    - type: INSERT → I, UPDATE → U, DELETE → D; unknown DML types become
+      null ops for the dead-letter split.
+    - ``isDdl: true`` messages are dropped (no row image to apply; the
+      schema-evolution path detects added columns from the data itself,
+      plans/evolution.py).
+    - Canal streams every table of the instance on one topic: pass
+      ``table`` to keep only the target table's rows (scan-stage filter).
+    - Each element of ``data`` becomes one event; ``lsn = id·2²⁰ + pos``
+      (see module docstring), ``ts = timestamp_millis(es)``.
+    """
+    # parse ONCE into a struct column, then filter/project from it (the
+    # Maxwell lesson: a second from_json in a Filter is not CSE'd)
+    out = raw.filter(F.col(value_col).isNotNull()).select(
+        F.from_json(F.col(value_col), CANAL_VALUE_SCHEMA).alias("_env")
+    )
+    p = F.col("_env")
+    out = out.filter(~F.coalesce(p["isDdl"], F.lit(False)))
+    if table is not None:
+        out = out.filter(p["table"] == table)
+    op_col: Column = F.lit(None).cast("string")
+    for k, v in _OP_IN.items():
+        op_col = F.when(p["type"] == k, F.lit(v)).otherwise(op_col)
+    exploded = out.select(
+        op_col.alias("op"),
+        p["id"].alias("_id"),
+        p["es"].alias("_es"),
+        F.posexplode(p["data"]).alias("_pos", "_row"),
+    )
+    r = F.col("_row")
+    return exploded.select(
+        F.col("op"),
+        (F.col("_id") * F.lit(_ROW_SHIFT) + F.col("_pos")).alias("lsn"),
+        F.timestamp_millis(F.col("_es")).alias("ts"),
+        r["conv_id"].alias("conv_id"),
+        r["turn_idx"].cast("int").alias("turn_idx"),
+        r["role"].alias("role"),
+        r["text"].alias("text"),
+        r["tool"].alias("tool"),
+    )
+
+
+# java.sql.Types codes canal reports for the transcripts columns
+_SQL_TYPES = {
+    "conv_id": 12,  # VARCHAR
+    "turn_idx": 4,  # INTEGER
+    "role": 12,
+    "text": -4,  # LONGVARCHAR (longtext)
+    "tool": 12,
+}
+_MYSQL_TYPES = {
+    "conv_id": "varchar(64)",
+    "turn_idx": "int(11)",
+    "role": "varchar(16)",
+    "text": "longtext",
+    "tool": "varchar(64)",
+}
+
+
+def _literal_map(d: dict, value_type: str) -> Column:
+    pairs = []
+    for k, v in d.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v).cast(value_type))
+    return F.create_map(*pairs)
+
+
+def to_canal_json(
+    changes: DataFrame,
+    value_col: str = "value",
+    database: str = "app",
+    table: str = "transcripts",
+) -> DataFrame:
+    """Canonical change events → Canal flat-message JSON strings
+    (deterministic fixture renderer; inverse of ``parse_canal`` up to
+    Canal's millisecond ``es`` — the round-trip contract query's oracle
+    coarsens identically). One row per message with ``id = lsn``, so the
+    derived composite is exactly ``lsn << 20`` and the original value is
+    recovered by ``shiftrightunsigned(lsn, 20)``."""
+    row_map = F.create_map(
+        F.lit("conv_id"), F.col("conv_id"),
+        F.lit("turn_idx"), F.col("turn_idx").cast("string"),
+        F.lit("role"), F.col("role"),
+        F.lit("text"), F.col("text"),
+        F.lit("tool"), F.col("tool"),
+    )
+    # exact integer division — unix_micros exceeds 2^53 headroom concerns
+    # under double division (the Maxwell lesson at maxwell.py:124)
+    es = F.expr("CAST(unix_micros(ts) div 1000 AS LONG)")
+    envelope = F.struct(
+        F.col("lsn").alias("id"),
+        F.lit(database).alias("database"),
+        F.lit(table).alias("table"),
+        F.array(F.lit("conv_id"), F.lit("turn_idx")).alias("pkNames"),
+        F.lit(False).alias("isDdl"),
+        F.when(F.col("op") == "D", F.lit("DELETE"))
+        .when(F.col("op") == "U", F.lit("UPDATE"))
+        .otherwise(F.lit("INSERT"))
+        .alias("type"),
+        es.alias("es"),
+        es.alias("ts"),
+        F.lit("").alias("sql"),
+        _literal_map(_SQL_TYPES, "int").alias("sqlType"),
+        _literal_map(_MYSQL_TYPES, "string").alias("mysqlType"),
+        F.array(row_map).alias("data"),
+        F.lit(None).cast(T.ArrayType(_ROW_MAP)).alias("old"),
+    )
+    return changes.select(F.to_json(envelope).alias(value_col))

@@ -676,6 +676,87 @@ def test_wal2json_framing_filter_and_unknown_action(spark):
     assert out[1]["conv_id"] == "c1" and out[1]["turn_idx"] == 3
 
 
+def test_canal_round_trip_all_ops_coarsens_ts_to_ms(spark):
+    """INSERT/UPDATE/DELETE round-trip bit-identically except ts, which
+    Canal carries at millisecond granularity (``es``); the fixture
+    renderer's id = lsn makes the derived (id, pos) composite exactly
+    invertible. Stringified values (turn_idx) cast back; NULL columns
+    survive the map image."""
+    from kettle_jena_plugins_spark.sources.canal import (
+        parse_canal,
+        to_canal_json,
+    )
+
+    us = datetime.datetime(2026, 1, 1, 0, 0, 1, 123456)
+    ch = _changes(
+        spark,
+        [
+            ("I", 1, us, "c1", 0, "user", 'sa"y\n\\x', "t"),
+            ("U", 2, _ts(2), "c1", 0, "user", "v2", None),
+            ("D", 3, _ts(3), "c1", 0, None, None, None),
+            # lsn above 2^32: id is a long, composite must survive
+            ("U", (7 << 40) + 12345, _ts(4), "c2", 1, "bot", "far", None),
+        ],
+    )
+    back = parse_canal(to_canal_json(ch)).orderBy("lsn").collect()
+    orig = ch.orderBy("lsn").collect()
+    for b, o in zip(back, orig):
+        assert (b["op"], b["conv_id"], b["turn_idx"], b["role"],
+                b["text"], b["tool"]) == (
+            o["op"], o["conv_id"], o["turn_idx"], o["role"],
+            o["text"], o["tool"])
+        assert b["lsn"] == o["lsn"] * (1 << 20)  # id·2²⁰ + pos, pos=0
+        ms = o["ts"].replace(microsecond=o["ts"].microsecond // 1000 * 1000)
+        assert b["ts"] == ms
+
+
+def test_canal_multirow_batch_ddl_filter_and_unknown_type(spark):
+    """A 3-row ``data`` array flattens to consecutive (id·2²⁰ + pos)
+    events in statement order; isDdl messages drop; other tables filter
+    out; unknown DML types become null ops for the dead-letter split;
+    stringified/NULL values decode."""
+    from kettle_jena_plugins_spark.sources.canal import parse_canal
+
+    raw = spark.createDataFrame(
+        [
+            # one binlog statement touching three rows
+            ('{"id":5,"database":"app","table":"transcripts",'
+             '"pkNames":["conv_id","turn_idx"],"isDdl":false,'
+             '"type":"INSERT","es":1767225601000,"ts":1767225601002,'
+             '"data":[{"conv_id":"c1","turn_idx":"0","role":"u",'
+             '"text":"a","tool":null},'
+             '{"conv_id":"c1","turn_idx":"1","role":"b","text":"bb",'
+             '"tool":"calc"},'
+             '{"conv_id":"c1","turn_idx":"2","role":"u","text":"c",'
+             '"tool":null}]}',),
+            # DDL: no row image, must drop at the scan
+            ('{"id":6,"database":"app","table":"transcripts",'
+             '"isDdl":true,"type":"ALTER","es":1767225602000,'
+             '"sql":"ALTER TABLE transcripts ADD COLUMN x INT"}',),
+            # other table on the same topic: must be filtered out
+            ('{"id":7,"database":"app","table":"users","isDdl":false,'
+             '"type":"INSERT","es":1767225603000,'
+             '"data":[{"conv_id":"zz","turn_idx":"9","role":"u",'
+             '"text":"y","tool":null}]}',),
+            # unknown non-DDL type -> null op for the dead-letter split
+            ('{"id":8,"database":"app","table":"transcripts",'
+             '"isDdl":false,"type":"QUERY","es":1767225604000,'
+             '"data":[{"conv_id":"c3","turn_idx":"2","role":"u",'
+             '"text":"z","tool":null}]}',),
+            (None,),  # null value dropped
+        ],
+        "value string",
+    )
+    out = parse_canal(raw, table="transcripts").orderBy("lsn").collect()
+    assert [r["op"] for r in out] == ["I", "I", "I", None]
+    assert [r["lsn"] for r in out] == [
+        5 * (1 << 20), 5 * (1 << 20) + 1, 5 * (1 << 20) + 2, 8 * (1 << 20)
+    ]
+    assert [r["turn_idx"] for r in out] == [0, 1, 2, 2]
+    assert out[1]["tool"] == "calc" and out[0]["tool"] is None
+    assert out[0]["ts"] == datetime.datetime(2026, 1, 1, 0, 0, 1)
+
+
 def test_cli_index_probe_max_bucket(spark, tmp_path, capsys):
     """`run index probe --max-bucket N`: the hot-bucket guard is operator-
     tunable from the CLI (0 disables; default = MAX_BUCKET_DEFAULT)."""
