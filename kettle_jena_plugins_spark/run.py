@@ -6,6 +6,11 @@ Commands:
   create   --table DIR                                     create the target
   stream   --wal DIR --table DIR --checkpoint DIR          tail WAL → MERGE
   apply    --events PATH --table DIR --batch-id N          one batch
+  ingest   --envelopes PATH --dialect D --table DIR --batch-id N
+           raw wire-format JSON lines (canal|debezium|maxwell|wal2json)
+           → parse (sources/envelopes.py) → validate/dead-letter →
+           exactly-once MERGE — the whole-pipeline form of `apply` for
+           streams that arrive as envelopes instead of parquet events
   state    --table DIR [--limit N]                         show final state
   changes  --table DIR --from-version A --to-version B     net changelog read
            between two committed snapshots (incremental consumption)
@@ -86,6 +91,23 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--salted", action="store_true")
     a.add_argument("--mode", choices=("cow", "mor", "auto"), default="auto",
                    help="auto = the mode recorded in the table's manifest")
+
+    ing = sub.add_parser("ingest")
+    ing.add_argument("--envelopes", required=True,
+                     help="JSON-lines file/dir/glob of raw CDC envelopes")
+    ing.add_argument("--dialect", required=True,
+                     choices=("canal", "debezium", "maxwell", "wal2json"))
+    ing.add_argument("--table", required=True)
+    ing.add_argument("--batch-id", type=int, required=True)
+    ing.add_argument("--source-table", default=None,
+                     help="keep only this source table's rows (dialects "
+                     "that multiplex tables on one stream)")
+    ing.add_argument("--dead-letter", default=None,
+                     help="parquet dir for rejected rows (unknown ops, "
+                     "null keys)")
+    ing.add_argument("--salted", action="store_true")
+    ing.add_argument("--mode", choices=("cow", "mor", "auto"), default="auto",
+                     help="auto = the mode recorded in the table's manifest")
 
     st = sub.add_parser("state")
     st.add_argument("--table", required=True)
@@ -202,6 +224,17 @@ def main(argv: list[str] | None = None) -> int:
         tgt = ParquetLakeTarget(spark, args.table, mode=mode)
         events = spark.read.parquet(args.events)
         res = apply_batch(tgt, events, args.batch_id, CDCConfig(salted=args.salted))
+        print(json.dumps(res.__dict__, default=str))
+    elif args.cmd == "ingest":
+        from .sources.envelopes import parse_envelope
+
+        tgt = ParquetLakeTarget(spark, args.table, mode=mode)
+        raw = spark.read.text(args.envelopes)
+        events = parse_envelope(raw, args.dialect, table=args.source_table)
+        cfg = CDCConfig(
+            salted=args.salted, dead_letter_dir=args.dead_letter
+        )
+        res = apply_batch(tgt, events, args.batch_id, cfg)
         print(json.dumps(res.__dict__, default=str))
     elif args.cmd == "state":
         tgt = ParquetLakeTarget(spark, args.table, mode=None)

@@ -1,0 +1,82 @@
+"""One front door for every supported CDC wire dialect.
+
+The four envelope parsers (sources/debezium.py, sources/maxwell.py,
+sources/wal2json.py, sources/canal.py) all produce the same canonical
+change-event schema (model.CHANGE_EVENT_SCHEMA), so the rest of the
+engine — validation split, LWW reduce, schema evolution, exactly-once
+MERGE (streaming/apply.py) — is dialect-agnostic. ``parse_envelope``
+is the dispatcher that makes that pluggability a one-argument choice,
+used by the CLI's ``ingest`` command (run.py) to apply a file of raw
+JSON-lines envelopes straight onto a lake table.
+
+Reference analogue: the plugin family exposes one Kettle step per
+input shape while sharing the row-level machinery underneath
+(JenaModelStepMeta.java:165-182's value-source dispatch); here the
+shared machinery is the canonical event schema and the dialect is the
+dispatched axis.
+
+Every parser is a narrow scan-stage projection (``from_json`` with an
+explicit schema, plus one ``posexplode`` for Canal's multi-row
+messages) — adding a dialect never adds a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .canal import parse_canal
+from .debezium import parse_debezium
+from .maxwell import parse_maxwell
+from .wal2json import parse_wal2json
+
+#: dialect name → (parser, supports in-stream table filtering)
+_DIALECTS = {
+    "debezium": (parse_debezium, False),
+    "maxwell": (parse_maxwell, True),
+    "wal2json": (parse_wal2json, True),
+    "canal": (parse_canal, True),
+}
+
+DIALECTS = tuple(sorted(_DIALECTS))
+
+
+def parse_envelope(
+    raw: DataFrame,
+    dialect: str,
+    value_col: str = "value",
+    table: str | None = None,
+) -> DataFrame:
+    """Raw envelope JSON strings → canonical change events, by dialect.
+
+    ``table`` keeps only the named source table's rows for the dialects
+    that multiplex tables onto one stream (Maxwell, wal2json, Canal).
+    Debezium is topic-per-table — its envelope carries no table name —
+    so passing ``table`` with ``dialect="debezium"`` raises instead of
+    silently not filtering.
+
+    Unknown ops in any dialect surface as null-op rows, which the apply
+    path's validation split routes to the dead letter
+    (streaming/apply.py step 1) — a malformed envelope never reaches
+    the merge.
+
+    Mixing dialects against ONE target table works because ts leads the
+    LWW total order (ts, lsn) — but the dialects' lsn spaces are not
+    mutually comparable (Canal's is an engine-derived composite), so the
+    lsn tiebreak is only meaningful within a single dialect's stream.
+    Real deployments run one dialect per stream; the cross-dialect case
+    is for migrations, where the cutover point is a ts boundary.
+    """
+    try:
+        parser, filterable = _DIALECTS[dialect]
+    except KeyError:
+        raise ValueError(
+            f"unknown dialect {dialect!r}; expected one of {DIALECTS}"
+        ) from None
+    if table is None:
+        return parser(raw, value_col=value_col)
+    if not filterable:
+        raise ValueError(
+            "debezium envelopes carry no table name (topic-per-table); "
+            "route tables upstream instead of passing table="
+        )
+    return parser(raw, value_col=value_col, table=table)

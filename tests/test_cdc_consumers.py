@@ -757,6 +757,76 @@ def test_canal_multirow_batch_ddl_filter_and_unknown_type(spark):
     assert out[0]["ts"] == datetime.datetime(2026, 1, 1, 0, 0, 1)
 
 
+def test_cli_ingest_envelopes_any_dialect(spark, tmp_path, capsys):
+    """`run ingest`: raw wire-format JSON lines → parse → exactly-once
+    MERGE, end-to-end through the CLI. Batch 0 arrives as Canal flat
+    messages, batch 1 (an update + a delete) as Maxwell — the final
+    state proves the dispatcher (sources/envelopes.py) feeds the same
+    dialect-agnostic apply path (ts leads the LWW order, so the
+    cross-dialect lsn spaces never decide a winner here)."""
+    import json as _json
+
+    from kettle_jena_plugins_spark.run import main
+    from kettle_jena_plugins_spark.sources.canal import to_canal_json
+    from kettle_jena_plugins_spark.sources.maxwell import to_maxwell_json
+    from kettle_jena_plugins_spark.targets.parquet_lake import (
+        ParquetLakeTarget,
+    )
+
+    ch1 = _changes(
+        spark,
+        [
+            ("I", 1, _ts(1), "c1", 0, "user", "hello", None),
+            ("I", 2, _ts(2), "c1", 1, "bot", "hi", "calc"),
+            ("I", 3, _ts(3), "c2", 0, "user", "bye", None),
+        ],
+    )
+    to_canal_json(ch1).coalesce(1).write.text(str(tmp_path / "env0"))
+    ch2 = _changes(
+        spark,
+        [
+            ("U", 4, _ts(4), "c1", 1, "bot", "edited", "calc"),
+            ("D", 5, _ts(5), "c2", 0, None, None, None),
+        ],
+    )
+    to_maxwell_json(ch2).coalesce(1).write.text(str(tmp_path / "env1"))
+
+    tbl = str(tmp_path / "lake")
+    assert main(["create", "--table", tbl]) == 0
+    for i, dialect in enumerate(("canal", "maxwell")):
+        assert main(
+            ["ingest", "--envelopes", str(tmp_path / f"env{i}"),
+             "--dialect", dialect, "--table", tbl,
+             "--batch-id", str(i), "--source-table", "transcripts"]
+        ) == 0
+    out_lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert out_lines[-1].get("batch_id") == 1
+
+    state = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in ParquetLakeTarget(spark, tbl, mode=None).read().collect()
+    }
+    assert state == {("c1", 0): "hello", ("c1", 1): "edited"}
+
+
+def test_parse_envelope_dispatch_errors(spark):
+    """Unknown dialects and debezium+table both raise with actionable
+    messages (debezium envelopes carry no table name)."""
+    import pytest
+
+    from kettle_jena_plugins_spark.sources.envelopes import parse_envelope
+
+    raw = spark.createDataFrame([("{}",)], "value string")
+    with pytest.raises(ValueError, match="unknown dialect"):
+        parse_envelope(raw, "dms")
+    with pytest.raises(ValueError, match="topic-per-table"):
+        parse_envelope(raw, "debezium", table="transcripts")
+
+
 def test_cli_index_probe_max_bucket(spark, tmp_path, capsys):
     """`run index probe --max-bucket N`: the hot-bucket guard is operator-
     tunable from the CLI (0 disables; default = MAX_BUCKET_DEFAULT)."""
