@@ -5,6 +5,8 @@ Commands:
   gen-wal  --out DIR --n-events N [--segments K] [knobs]   write a WAL dir
   create   --table DIR                                     create the target
   stream   --wal DIR --table DIR --checkpoint DIR          tail WAL → MERGE
+           (with --dialect D: tail raw JSON-lines envelopes instead —
+           checkpoint/resume semantics identical)
   apply    --events PATH --table DIR --batch-id N          one batch
   ingest   --envelopes PATH --dialect D --table DIR --batch-id N
            raw wire-format JSON lines (canal|debezium|maxwell|wal2json)
@@ -75,12 +77,21 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--mode", choices=("cow", "mor"), default="cow")
 
     s = sub.add_parser("stream")
-    s.add_argument("--wal", required=True)
+    s.add_argument("--wal", required=True,
+                   help="dir of change-event parquet (default) or, with "
+                   "--dialect, raw JSON-lines envelope files")
     s.add_argument("--table", required=True)
     s.add_argument("--checkpoint", required=True)
     s.add_argument("--metrics", default=None)
     s.add_argument("--salted", action="store_true")
     s.add_argument("--max-files-per-trigger", type=int, default=None)
+    s.add_argument("--dialect", default=None,
+                   choices=("canal", "debezium", "maxwell", "wal2json"),
+                   help="tail --wal as raw wire-format JSON lines in this "
+                   "dialect instead of change-event parquet")
+    s.add_argument("--source-table", default=None,
+                   help="keep only this source table's rows (multiplexed "
+                   "dialects)")
     s.add_argument("--mode", choices=("cow", "mor", "auto"), default="auto",
                    help="auto = the mode recorded in the table's manifest")
 
@@ -214,6 +225,8 @@ def main(argv: list[str] | None = None) -> int:
         run_stream(
             spark, args.wal, tgt, args.checkpoint, cfg,
             max_files_per_trigger=args.max_files_per_trigger,
+            envelope_dialect=args.dialect,
+            source_table=args.source_table,
         )
         print(json.dumps({
             "wall_sec": round(time.time() - t0, 2),

@@ -254,16 +254,42 @@ def run_stream(
     schema=CHANGE_EVENT_SCHEMA,
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
+    envelope_dialect: str | None = None,
+    source_table: str | None = None,
 ):
     """Tail a directory of change-event parquet files (the WAL), applying each
     micro-batch via foreachBatch. availableNow drains everything present and
     stops — rerunning with the same checkpoint resumes after the last
-    committed offset (kill/resume replay convergence)."""
+    committed offset (kill/resume replay convergence).
+
+    When ``envelope_dialect`` is set, ``events_dir`` holds raw JSON-lines
+    wire-format files (a Kafka topic dump, a connector's file sink)
+    instead of change-event parquet: each micro-batch streams through the
+    dialect parser (sources/envelopes.py — a narrow scan-stage
+    projection, so the stream plan stays one stage up to the sink) before
+    the same validate/evolve/MERGE path. ``source_table`` filters
+    multiplexed streams (Maxwell/wal2json/Canal). This is the streaming
+    form of the CLI's ``ingest``; checkpoint/resume semantics are
+    identical to the parquet WAL form."""
     cfg = cfg or CDCConfig()
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(events_dir)
+    if envelope_dialect is not None:
+        from ..sources.envelopes import parse_envelope
+
+        reader = spark.readStream
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        stream = parse_envelope(
+            reader.text(events_dir), envelope_dialect, table=source_table
+        )
+    else:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        stream = reader.parquet(events_dir)
     if cfg.stream_dedup:
         from .dedup import watermarked_dedup
 

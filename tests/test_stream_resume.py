@@ -65,6 +65,42 @@ def test_stream_drain_resume_converges(spark, tmp_path, ch):
     assert full_state(tgt) == want
 
 
+def test_stream_envelopes_drain_resume_converges(spark, tmp_path, ch):
+    """Streaming ingest of raw wire-format JSON lines (wal2json here —
+    bit-exact round trip incl. microsecond ts): drain, land more files,
+    resume from the same checkpoint, and converge to the one-shot LWW
+    state — the envelope front door inherits the parquet WAL's
+    checkpoint/replay semantics."""
+    from kettle_jena_plugins_spark.sources.wal2json import to_wal2json
+
+    env = str(tmp_path / "env")
+    ckpt = str(tmp_path / "ckpt")
+    tgt = ParquetLakeTarget(spark, str(tmp_path / "tbl"), n_buckets=4)
+    tgt.create()
+    cfg = CDCConfig(normalize=False)
+
+    halves = [ch.filter(F.col("lsn") % 2 == i) for i in range(2)]
+    to_wal2json(halves[0]).coalesce(1).write.mode("append").text(env)
+    run_stream(spark, env, tgt, ckpt, cfg, max_files_per_trigger=1,
+               envelope_dialect="wal2json", source_table="transcripts")
+    mid_batches = tgt.last_committed_batch()
+    assert mid_batches >= 0
+
+    time.sleep(1.1)  # distinct mod-times so the file source sees new files
+    to_wal2json(halves[1]).coalesce(1).write.mode("append").text(env)
+    run_stream(spark, env, tgt, ckpt, cfg, max_files_per_trigger=1,
+               envelope_dialect="wal2json", source_table="transcripts")
+    assert tgt.last_committed_batch() > mid_batches
+
+    want = sorted(
+        tuple(r)
+        for r in lww_state(ch)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .collect()
+    )
+    assert full_state(tgt) == want
+
+
 def test_fresh_checkpoint_replay_is_idempotent(spark, tmp_path, ch):
     """Losing the checkpoint and replaying the whole WAL from scratch must
     converge to the same state (MERGE is LWW-guarded, not blind upsert)."""
