@@ -30,10 +30,12 @@ subset those shapes exercise —
   - ``sh:nodeKind`` (all six values) → term-kind check over the engine's
     rendering: nested struct = blank node, quoted full literal term or
     non-IRI-shaped scalar = literal, scheme-shaped scalar = IRI
-  - ``sh:class <C>`` → the value node's ``rdf:type`` child must equal the
-    expanded class URI (exact equality — rdfs:subClassOf subsumption is a
-    non-goal; a path whose construct carries no rdf:type child fails
-    analysis loudly rather than under-validating)
+  - ``sh:class <C>`` → the value node's ``rdf:type`` child must be the
+    expanded class URI or any ``rdfs:subClassOf*`` descendant declared in
+    the same file (Jena deployments ship the ontology with the shapes
+    graph; the closure compiles driver-side into one IN-list predicate);
+    a path whose construct carries no rdf:type child fails analysis
+    loudly rather than under-validating
   - ``sh:and ( [ … ] … )`` over inline one-column shapes → conjunction
     (each inline shape's constraints compile as if declared on the
     property directly)
@@ -74,6 +76,7 @@ from .validate import PathShape
 
 SH = "http://www.w3.org/ns/shacl#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
 
@@ -420,6 +423,30 @@ def shapes_from_ttl(
         if SH + "NodeShape" in d.get(RDF_TYPE, [])
     }
 
+    # rdfs:subClassOf triples carried alongside the shapes (Jena
+    # deployments ship the ontology with the shapes graph) widen
+    # sh:class to SHACL's real semantics: a value node conforms when its
+    # rdf:type is the class OR any rdfs:subClassOf* descendant. The
+    # hierarchy is tiny and driver-side; the closure compiles into the
+    # constraint's IN-list, so the executor-side check stays one
+    # whole-stage-codegen predicate.
+    _parents: dict[str, list[str]] = {}
+    for _s, _d in by_subject.items():
+        for _sup in _d.get(RDFS + "subClassOf", []):
+            if isinstance(_sup, str):
+                _parents.setdefault(_s, []).append(_sup)
+
+    def class_closure(cls: str) -> list[str]:
+        """{cls} ∪ its rdfs:subClassOf* descendants (cycle-safe)."""
+        out, frontier = {cls}, [cls]
+        while frontier:
+            cur = frontier.pop()
+            for sub, sups in _parents.items():
+                if cur in sups and sub not in out:
+                    out.add(sub)
+                    frontier.append(sub)
+        return sorted(out)
+
     shapes: list[PathShape] = []
     any_of: list[tuple[str, ...]] = []
     constraints: list[tuple[str, str]] = []
@@ -557,13 +584,22 @@ def shapes_from_ttl(
         sh_class = prop.get(SH + "class", [None])[0]
         if isinstance(sh_class, str):
             type_seg = seg(RDF_TYPE)
+            allowed = class_closure(sh_class)
+            if len(allowed) == 1:
+                mismatch = (
+                    f"CAST({dotted}.{type_seg} AS STRING) <> "
+                    f"{_sql_str(sh_class)}"
+                )
+            else:
+                vals = ", ".join(_sql_str(x) for x in allowed)
+                mismatch = (
+                    f"CAST({dotted}.{type_seg} AS STRING) NOT IN ({vals})"
+                )
             sink.append(
                 (
                     f"class:{dotted}",
                     f"{dotted} IS NOT NULL AND "
-                    f"({dotted}.{type_seg} IS NULL OR "
-                    f"CAST({dotted}.{type_seg} AS STRING) <> "
-                    f"{_sql_str(sh_class)})",
+                    f"({dotted}.{type_seg} IS NULL OR {mismatch})",
                 )
             )
 

@@ -350,6 +350,48 @@ def test_nodekind_and_class_constraints(spark):
     }
 
 
+def test_class_subsumption_via_subclassof(spark):
+    """sh:class honors rdfs:subClassOf* declared in the shapes file
+    (SHACL's real semantics — Jena deployments ship the ontology with
+    the shapes graph): a value typed with a transitive descendant
+    conforms; an unrelated type still violates; the closure compiles to
+    one IN-list predicate, not a join."""
+    ttl = """
+    @prefix ex:   <http://example.org/x#> .
+    @prefix sh:   <http://www.w3.org/ns/shacl#> .
+    @prefix rdf:  <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+    ex:Agreement rdfs:subClassOf ex:Policy .
+    ex:Offer     rdfs:subClassOf ex:Agreement .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:meta ; sh:class ex:Policy ; ] .
+    """
+    _, _, constraints = shapes_from_ttl(ttl)
+    assert len(constraints) == 1
+    df = spark.createDataFrame(
+        [
+            ("http://example.org/x#Policy",),     # the class itself
+            ("http://example.org/x#Agreement",),  # direct subclass
+            ("http://example.org/x#Offer",),      # transitive subclass
+            ("http://example.org/x#Other",),      # unrelated → violates
+            (None,),                              # absent node → vacuous
+        ],
+        "rdf_type string",
+    ).withColumn(
+        "ex_meta",
+        F.when(
+            F.col("rdf_type").isNotNull(), F.struct(F.col("rdf_type"))
+        ),
+    )
+    spec = ValidationSpec(
+        require_keys=(), require_ts=False, constraints=constraints
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(df, spec).collect()
+    }
+    assert stats == {"class:ex_meta": 1}
+
+
 def test_pattern_backslash_survives_sql_literal(spark):
     """A regex class like \\d must survive the trip through the Spark SQL
     string literal (backslash is an escape char there): both the strict
