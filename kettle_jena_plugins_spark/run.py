@@ -15,7 +15,9 @@ Commands:
            streams that arrive as envelopes instead of parquet events
   state    --table DIR [--limit N]                         show final state
   changes  --table DIR --from-version A --to-version B     net changelog read
-           between two committed snapshots (incremental consumption)
+           between two committed snapshots (incremental consumption);
+           with --emit-dialect D --out DIR, writes it as wire-format
+           JSON lines (changelog fan-out: the lake as a CDC SOURCE)
   maintain --table DIR [--keep-last N]                     expire old snapshots
            and reclaim unreferenced data files
   ann      {build|probe|append} --vectors PATH --index DIR
@@ -129,6 +131,12 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--from-version", type=int, required=True)
     ch.add_argument("--to-version", type=int, required=True)
     ch.add_argument("--limit", type=int, default=20)
+    ch.add_argument("--emit-dialect", default=None,
+                    choices=("canal", "debezium", "maxwell", "wal2json"),
+                    help="write the net changelog as wire-format JSON "
+                    "lines in this dialect (changelog fan-out)")
+    ch.add_argument("--out", default=None,
+                    help="output dir for --emit-dialect JSON lines")
 
     mt = sub.add_parser("maintain")
     mt.add_argument("--table", required=True)
@@ -257,10 +265,26 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows": df.count()}))
     elif args.cmd == "changes":
         tgt = ParquetLakeTarget(spark, args.table, mode=None)
-        df = tgt.changes_between(args.from_version, args.to_version)
-        for r in df.limit(args.limit).collect():
-            print(json.dumps(r.asDict(), default=str))
-        print(json.dumps({"changed_keys": df.count()}))
+        if args.emit_dialect:
+            if not args.out:
+                ap.error("--emit-dialect requires --out")
+            from .sources.envelopes import render_envelope
+
+            ev = tgt.changelog_as_events(
+                args.from_version, args.to_version
+            )
+            env = render_envelope(ev, args.emit_dialect)
+            env.write.mode("overwrite").text(args.out)
+            print(json.dumps({
+                "changed_keys": ev.count(),
+                "dialect": args.emit_dialect,
+                "out": args.out,
+            }))
+        else:
+            df = tgt.changes_between(args.from_version, args.to_version)
+            for r in df.limit(args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+            print(json.dumps({"changed_keys": df.count()}))
     elif args.cmd == "maintain":
         tgt = ParquetLakeTarget(spark, args.table, mode=None)
         out = {}

@@ -24,10 +24,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from .canal import parse_canal
-from .debezium import parse_debezium
-from .maxwell import parse_maxwell
-from .wal2json import parse_wal2json
+from .canal import parse_canal, to_canal_json
+from .debezium import parse_debezium, to_debezium_json
+from .maxwell import parse_maxwell, to_maxwell_json
+from .wal2json import parse_wal2json, to_wal2json
 
 #: dialect name → (parser, supports in-stream table filtering)
 _DIALECTS = {
@@ -80,3 +80,32 @@ def parse_envelope(
             "route tables upstream instead of passing table="
         )
     return parser(raw, value_col=value_col, table=table)
+
+
+_RENDERERS = {
+    "canal": to_canal_json,
+    "debezium": to_debezium_json,
+    "maxwell": to_maxwell_json,
+    "wal2json": to_wal2json,
+}
+
+
+def render_envelope(
+    changes: DataFrame, dialect: str, value_col: str = "value"
+) -> DataFrame:
+    """Canonical change events → wire-format JSON strings, by dialect —
+    the inverse of ``parse_envelope`` (up to each dialect's documented
+    ts granularity). This is the changelog fan-OUT path: the lake's net
+    changelog (targets/parquet_lake.changelog_as_events) rendered in
+    whatever dialect a downstream consumer already speaks, so this
+    engine can sit in the middle of a CDC chain, not only at its end
+    (CLI: ``run changes --emit-dialect D --out DIR``).
+
+    One ``to_json`` projection per row — narrow, no shuffle."""
+    try:
+        renderer = _RENDERERS[dialect]
+    except KeyError:
+        raise ValueError(
+            f"unknown dialect {dialect!r}; expected one of {DIALECTS}"
+        ) from None
+    return renderer(changes, value_col=value_col)

@@ -319,6 +319,27 @@ class ParquetLakeTarget:
             .drop("_lsn_old", "_del_old")
         )
 
+    def changelog_as_events(self, v_from: int, v_to: int) -> DataFrame:
+        """``changes_between`` re-shaped as canonical change events
+        (op/lsn/ts + payload) — the changelog fan-OUT read: render with
+        sources/envelopes.render_envelope to feed a downstream consumer
+        that speaks Debezium/Maxwell/wal2json/Canal, so the lake can be
+        the SOURCE of a CDC chain as well as its sink. Net-effect
+        semantics are inherited: intermediate flips inside the range
+        collapse, so a consumer applying this stream under the same
+        (ts, lsn) LWW order converges to this table's v_to state."""
+        cl = self.changes_between(v_from, v_to)
+        payload = [
+            c
+            for c in cl.columns
+            if c not in ("_lsn", "_deleted", "_change_op")
+        ]
+        return cl.select(
+            F.col("_change_op").alias("op"),
+            F.col("_lsn").alias("lsn"),
+            *[F.col(c) for c in payload],
+        )
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Maintenance: drop manifests older than the newest `keep_last`
         (the CURRENT snapshot is always kept) and delete data files no kept

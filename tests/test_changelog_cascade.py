@@ -61,6 +61,43 @@ def test_changelog_cascade_converges_replica(spark, tmp_path):
     assert table_state(src.read()) == table_state(lww_state(ev))
 
 
+def test_changelog_envelope_fanout_cascade(spark, tmp_path):
+    """Changelog fan-OUT through a wire dialect: lake A's net changelog
+    rendered as wal2json envelopes (the `run changes --emit-dialect`
+    path), parsed back by a downstream consumer and applied to lake B —
+    B converges to A's exact state. Proves the engine can sit in the
+    MIDDLE of a CDC chain (emit), not just at its end (ingest);
+    wal2json is the bit-exact dialect (microsecond ts + full lsn), so
+    convergence is equality, not coarsened."""
+    from kettle_jena_plugins_spark.sources.envelopes import (
+        parse_envelope,
+        render_envelope,
+    )
+
+    ev = gen_change_events(spark, 4000, n_convs=60, dup_frac=0.05,
+                           ooo_frac=0.2)
+    src = ParquetLakeTarget(spark, str(tmp_path / "src"), n_buckets=4)
+    src.create()
+    v_prev = src.manifest()["version"]
+    deltas = []
+    for i, (lo, hi) in enumerate([(0, 2000), (2000, 4000)]):
+        b = ev.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        apply_batch(src, b, i, CDCConfig(normalize=False))
+        v_now = src.manifest()["version"]
+        deltas.append((v_prev, v_now))
+        v_prev = v_now
+
+    dst = ParquetLakeTarget(spark, str(tmp_path / "dst"), n_buckets=2)
+    dst.create()
+    for i, (va, vb) in enumerate(deltas):
+        env = render_envelope(src.changelog_as_events(va, vb), "wal2json")
+        delta = parse_envelope(env, "wal2json", table="transcripts")
+        apply_batch(dst, delta, i, CDCConfig(normalize=False))
+
+    assert table_state(src.read()) == table_state(dst.read())
+    assert table_state(src.read()) == table_state(lww_state(ev))
+
+
 def test_randomized_replay_converges(spark, tmp_path):
     """Seeded chaos: random batch boundaries, every batch re-applied a
     random number of times (same id → idempotent skip), plus a whole-log
