@@ -94,6 +94,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--source-table", default=None,
                    help="keep only this source table's rows (multiplexed "
                    "dialects)")
+    s.add_argument("--payload-cols", default=None,
+                   help="extra row columns as 'name:type,...' (schema "
+                   "evolution through the envelope stream)")
     s.add_argument("--mode", choices=("cow", "mor", "auto"), default="auto",
                    help="auto = the mode recorded in the table's manifest")
 
@@ -118,6 +121,10 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--dead-letter", default=None,
                      help="parquet dir for rejected rows (unknown ops, "
                      "null keys)")
+    ing.add_argument("--payload-cols", default=None,
+                     help="extra row columns as 'name:type,...' (schema "
+                     "evolution: an evolved producer's added columns; "
+                     "the lake ALTERs on first sight)")
     ing.add_argument("--salted", action="store_true")
     ing.add_argument("--mode", choices=("cow", "mor", "auto"), default="auto",
                      help="auto = the mode recorded in the table's manifest")
@@ -230,11 +237,18 @@ def main(argv: list[str] | None = None) -> int:
         tgt = ParquetLakeTarget(spark, args.table, mode=mode)
         cfg = CDCConfig(salted=args.salted, metrics_path=args.metrics)
         t0 = time.time()
+        from .sources.envelopes import extended_payload_schema
+
         run_stream(
             spark, args.wal, tgt, args.checkpoint, cfg,
             max_files_per_trigger=args.max_files_per_trigger,
             envelope_dialect=args.dialect,
             source_table=args.source_table,
+            envelope_payload_schema=(
+                extended_payload_schema(args.payload_cols)
+                if args.payload_cols
+                else None
+            ),
         )
         print(json.dumps({
             "wall_sec": round(time.time() - t0, 2),
@@ -247,11 +261,21 @@ def main(argv: list[str] | None = None) -> int:
         res = apply_batch(tgt, events, args.batch_id, CDCConfig(salted=args.salted))
         print(json.dumps(res.__dict__, default=str))
     elif args.cmd == "ingest":
-        from .sources.envelopes import parse_envelope
+        from .sources.envelopes import (
+            extended_payload_schema,
+            parse_envelope,
+        )
 
         tgt = ParquetLakeTarget(spark, args.table, mode=mode)
         raw = spark.read.text(args.envelopes)
-        events = parse_envelope(raw, args.dialect, table=args.source_table)
+        ps = (
+            extended_payload_schema(args.payload_cols)
+            if args.payload_cols
+            else None
+        )
+        events = parse_envelope(
+            raw, args.dialect, table=args.source_table, payload_schema=ps
+        )
         cfg = CDCConfig(
             salted=args.salted, dead_letter_dir=args.dead_letter
         )

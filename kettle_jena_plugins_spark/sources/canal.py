@@ -88,7 +88,10 @@ _OP_IN = {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}
 
 
 def parse_canal(
-    raw: DataFrame, value_col: str = "value", table: str | None = None
+    raw: DataFrame,
+    value_col: str = "value",
+    table: str | None = None,
+    payload_schema: T.StructType | None = None,
 ) -> DataFrame:
     """Canal flat-message JSON strings → canonical change events.
 
@@ -101,6 +104,10 @@ def parse_canal(
       ``table`` to keep only the target table's rows (scan-stage filter).
     - Each element of ``data`` becomes one event; ``lsn = id·2²⁰ + pos``
       (see module docstring), ``ts = timestamp_millis(es)``.
+    - ``payload_schema`` overrides the projected row shape for
+      mid-stream schema evolution; the map image is already
+      positional-free, so an extended schema just adds projections +
+      casts — the envelope schema itself never changes.
     """
     # parse ONCE into a struct column, then filter/project from it (the
     # Maxwell lesson: a second from_json in a Filter is not CSE'd)
@@ -121,33 +128,40 @@ def parse_canal(
         F.posexplode(p["data"]).alias("_pos", "_row"),
     )
     r = F.col("_row")
+    rs = payload_schema or _DEFAULT_ROW
     return exploded.select(
         F.col("op"),
         (F.col("_id") * F.lit(_ROW_SHIFT) + F.col("_pos")).alias("lsn"),
         F.timestamp_millis(F.col("_es")).alias("ts"),
-        r["conv_id"].alias("conv_id"),
-        r["turn_idx"].cast("int").alias("turn_idx"),
-        r["role"].alias("role"),
-        r["text"].alias("text"),
-        r["tool"].alias("tool"),
+        *[r[f.name].cast(f.dataType).alias(f.name) for f in rs.fields],
     )
 
 
-# java.sql.Types codes canal reports for the transcripts columns
-_SQL_TYPES = {
-    "conv_id": 12,  # VARCHAR
-    "turn_idx": 4,  # INTEGER
-    "role": 12,
-    "text": -4,  # LONGVARCHAR (longtext)
-    "tool": 12,
+# default projected row shape (the transcripts table, BASELINE.json
+# input_hint); evolution passes an extended schema via payload_schema
+_DEFAULT_ROW = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+    ]
+)
+
+# Spark simpleString → (java.sql.Types code, mysql type name) for the
+# renderer's sqlType/mysqlType side maps (parse never reads them — the
+# engine's target schema is authoritative)
+_JDBC_TYPES = {
+    "int": (4, "int(11)"),
+    "smallint": (5, "smallint(6)"),
+    "bigint": (-5, "bigint(20)"),
+    "double": (8, "double"),
+    "float": (7, "float"),
+    "boolean": (-7, "tinyint(1)"),
+    "timestamp": (93, "datetime(6)"),
 }
-_MYSQL_TYPES = {
-    "conv_id": "varchar(64)",
-    "turn_idx": "int(11)",
-    "role": "varchar(16)",
-    "text": "longtext",
-    "tool": "varchar(64)",
-}
+_JDBC_DEFAULT = (12, "varchar(255)")  # VARCHAR
 
 
 def _literal_map(d: dict, value_type: str) -> Column:
@@ -170,13 +184,21 @@ def to_canal_json(
     coarsens identically). One row per message with ``id = lsn``, so the
     derived composite is exactly ``lsn << 20`` and the original value is
     recovered by ``shiftrightunsigned(lsn, 20)``."""
-    row_map = F.create_map(
-        F.lit("conv_id"), F.col("conv_id"),
-        F.lit("turn_idx"), F.col("turn_idx").cast("string"),
-        F.lit("role"), F.col("role"),
-        F.lit("text"), F.col("text"),
-        F.lit("tool"), F.col("tool"),
-    )
+    # row image inferred from the input's columns (evolved streams
+    # render their new columns); canal stringifies every value
+    payload = [
+        f for f in changes.schema.fields if f.name not in ("op", "lsn", "ts")
+    ]
+    map_pairs: list[Column] = []
+    sql_types: dict[str, int] = {}
+    mysql_types: dict[str, str] = {}
+    for f in payload:
+        map_pairs.append(F.lit(f.name))
+        map_pairs.append(F.col(f.name).cast("string"))
+        jt, mt = _JDBC_TYPES.get(f.dataType.simpleString(), _JDBC_DEFAULT)
+        sql_types[f.name] = jt
+        mysql_types[f.name] = mt
+    row_map = F.create_map(*map_pairs)
     # exact integer division — unix_micros exceeds 2^53 headroom concerns
     # under double division (the Maxwell lesson at maxwell.py:124)
     es = F.expr("CAST(unix_micros(ts) div 1000 AS LONG)")
@@ -193,8 +215,8 @@ def to_canal_json(
         es.alias("es"),
         es.alias("ts"),
         F.lit("").alias("sql"),
-        _literal_map(_SQL_TYPES, "int").alias("sqlType"),
-        _literal_map(_MYSQL_TYPES, "string").alias("mysqlType"),
+        _literal_map(sql_types, "int").alias("sqlType"),
+        _literal_map(mysql_types, "string").alias("mysqlType"),
         F.array(row_map).alias("data"),
         F.lit(None).cast(T.ArrayType(_ROW_MAP)).alias("old"),
     )

@@ -39,37 +39,53 @@ _ROW_SCHEMA = T.StructType(
     ]
 )
 
-DEBEZIUM_VALUE_SCHEMA = T.StructType(
-    [
-        T.StructField(
-            "payload",
-            T.StructType(
-                [
-                    T.StructField("before", _ROW_SCHEMA, True),
-                    T.StructField("after", _ROW_SCHEMA, True),
-                    T.StructField("op", T.StringType(), True),
-                    T.StructField("ts_ms", T.LongType(), True),
-                    T.StructField(
-                        "source",
-                        T.StructType(
-                            [
-                                T.StructField("lsn", T.LongType(), True),
-                                T.StructField("ts_us", T.LongType(), True),
-                            ]
+def _value_schema(row_schema: T.StructType) -> T.StructType:
+    """Envelope schema for a given row-image shape (schema evolution:
+    pass an extended row schema — e.g. model.CHANGE_EVENT_SCHEMA_V2's
+    payload with ``tool_meta`` — and the new columns parse instead of
+    being silently dropped by the fixed from_json schema)."""
+    return T.StructType(
+        [
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("before", row_schema, True),
+                        T.StructField("after", row_schema, True),
+                        T.StructField("op", T.StringType(), True),
+                        T.StructField("ts_ms", T.LongType(), True),
+                        T.StructField(
+                            "source",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "lsn", T.LongType(), True
+                                    ),
+                                    T.StructField(
+                                        "ts_us", T.LongType(), True
+                                    ),
+                                ]
+                            ),
+                            True,
                         ),
-                        True,
-                    ),
-                ]
-            ),
-            True,
-        )
-    ]
-)
+                    ]
+                ),
+                True,
+            )
+        ]
+    )
+
+
+DEBEZIUM_VALUE_SCHEMA = _value_schema(_ROW_SCHEMA)
 
 _OP_IN = {"c": "I", "r": "I", "u": "U", "d": "D"}
 
 
-def parse_debezium(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_debezium(
+    raw: DataFrame,
+    value_col: str = "value",
+    payload_schema: T.StructType | None = None,
+) -> DataFrame:
     """JSON envelope strings → canonical change events.
 
     - op: c (create) and r (snapshot read) → I, u → U, d → D;
@@ -80,8 +96,14 @@ def parse_debezium(raw: DataFrame, value_col: str = "value") -> DataFrame:
       microsecond precision matters because ts leads the LWW total order.
     - Kafka tombstones (null value) are dropped: the D event itself carries
       the deletion; the tombstone is a compaction hint, not an event.
+    - ``payload_schema`` overrides the row-image shape for mid-stream
+      schema evolution (added columns, widened types): from_json drops
+      fields its schema doesn't name, so an evolved producer's new
+      column NEEDS the extended schema to reach the lake's ALTER path
+      (plans/evolution.py).
     """
-    p = F.from_json(F.col(value_col), DEBEZIUM_VALUE_SCHEMA)["payload"]
+    rs = payload_schema or _ROW_SCHEMA
+    p = F.from_json(F.col(value_col), _value_schema(rs))["payload"]
     op_col: Column = F.lit(None).cast("string")
     for k, v in _OP_IN.items():
         op_col = F.when(p["op"] == k, F.lit(v)).otherwise(op_col)
@@ -91,18 +113,17 @@ def parse_debezium(raw: DataFrame, value_col: str = "value") -> DataFrame:
         op_col.alias("op"),
         p["source"]["lsn"].alias("lsn"),
         F.timestamp_micros(ts_us).alias("ts"),
-        row["conv_id"].alias("conv_id"),
-        row["turn_idx"].alias("turn_idx"),
-        row["role"].alias("role"),
-        row["text"].alias("text"),
-        row["tool"].alias("tool"),
+        *[row[f.name].alias(f.name) for f in rs.fields],
     )
 
 
 def to_debezium_json(changes: DataFrame, value_col: str = "value") -> DataFrame:
     """Canonical change events → one-column DataFrame of envelope JSON strings
-    (deterministic fixture renderer; inverse of ``parse_debezium``)."""
-    image = F.struct("conv_id", "turn_idx", "role", "text", "tool")
+    (deterministic fixture renderer; inverse of ``parse_debezium``).
+    The row image is inferred from the input's columns (everything
+    beyond op/lsn/ts), so evolved streams render their new columns."""
+    payload = [c for c in changes.columns if c not in ("op", "lsn", "ts")]
+    image = F.struct(*payload)
     is_del = F.col("op") == "D"
     payload = F.struct(
         F.when(is_del, image).alias("before"),

@@ -23,7 +23,9 @@ messages) — adding a dialect never adds a shuffle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
+from ..model import CHANGE_EVENT_SCHEMA
 from .canal import parse_canal, to_canal_json
 from .debezium import parse_debezium, to_debezium_json
 from .maxwell import parse_maxwell, to_maxwell_json
@@ -45,6 +47,7 @@ def parse_envelope(
     dialect: str,
     value_col: str = "value",
     table: str | None = None,
+    payload_schema=None,
 ) -> DataFrame:
     """Raw envelope JSON strings → canonical change events, by dialect.
 
@@ -65,6 +68,12 @@ def parse_envelope(
     lsn tiebreak is only meaningful within a single dialect's stream.
     Real deployments run one dialect per stream; the cross-dialect case
     is for migrations, where the cutover point is a ts boundary.
+
+    ``payload_schema`` (a StructType, e.g. from
+    ``extended_payload_schema``) extends the projected row shape for
+    mid-stream schema evolution: from_json drops fields its schema does
+    not name, so an evolved producer's new column needs the extended
+    schema here to reach the lake's ALTER path (plans/evolution.py).
     """
     try:
         parser, filterable = _DIALECTS[dialect]
@@ -72,14 +81,53 @@ def parse_envelope(
         raise ValueError(
             f"unknown dialect {dialect!r}; expected one of {DIALECTS}"
         ) from None
+    kw = {"value_col": value_col}
+    if payload_schema is not None:
+        kw["payload_schema"] = payload_schema
     if table is None:
-        return parser(raw, value_col=value_col)
+        return parser(raw, **kw)
     if not filterable:
         raise ValueError(
             "debezium envelopes carry no table name (topic-per-table); "
             "route tables upstream instead of passing table="
         )
-    return parser(raw, value_col=value_col, table=table)
+    return parser(raw, table=table, **kw)
+
+
+#: type names accepted by extended_payload_schema's "name:type" specs
+_DDL_TYPES = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "bigint": T.LongType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+def extended_payload_schema(spec: str) -> T.StructType:
+    """``"tool_meta:string,score:double"`` → the default transcripts row
+    shape extended with the named columns (for ``parse_envelope``'s
+    ``payload_schema`` / the CLI's ``--payload-cols``). Mid-stream
+    schema evolution: the producer added columns; the consumer names
+    them here; the lake ALTERs on first sight (plans/evolution.py)."""
+    base = list(CHANGE_EVENT_SCHEMA.fields[3:])
+    names = {f.name for f in base}
+    for part in filter(None, (p.strip() for p in spec.split(","))):
+        name, _, typ = part.partition(":")
+        typ = (typ or "string").strip().lower()
+        if typ not in _DDL_TYPES:
+            raise ValueError(
+                f"unsupported type {typ!r} in payload spec {part!r}; "
+                f"expected one of {sorted(_DDL_TYPES)}"
+            )
+        if name in names:
+            raise ValueError(f"column {name!r} already in the base schema")
+        names.add(name)
+        base.append(T.StructField(name, _DDL_TYPES[typ], True))
+    return T.StructType(base)
 
 
 _RENDERERS = {

@@ -45,19 +45,26 @@ _ROW_SCHEMA = T.StructType(
     ]
 )
 
-MAXWELL_VALUE_SCHEMA = T.StructType(
-    [
-        T.StructField("database", T.StringType(), True),
-        T.StructField("table", T.StringType(), True),
-        T.StructField("type", T.StringType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("xid", T.LongType(), True),
-        T.StructField("commit", T.BooleanType(), True),
-        T.StructField("position", T.StringType(), True),
-        T.StructField("data", _ROW_SCHEMA, True),
-        T.StructField("old", _ROW_SCHEMA, True),
-    ]
-)
+def _value_schema(row_schema: T.StructType) -> T.StructType:
+    """Envelope schema for a given row-image shape (schema evolution:
+    an extended row schema lets an evolved producer's new columns parse
+    instead of being silently dropped by from_json)."""
+    return T.StructType(
+        [
+            T.StructField("database", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("type", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("xid", T.LongType(), True),
+            T.StructField("commit", T.BooleanType(), True),
+            T.StructField("position", T.StringType(), True),
+            T.StructField("data", row_schema, True),
+            T.StructField("old", row_schema, True),
+        ]
+    )
+
+
+MAXWELL_VALUE_SCHEMA = _value_schema(_ROW_SCHEMA)
 
 _OP_IN = {"insert": "I", "bootstrap-insert": "I", "update": "U", "delete": "D"}
 
@@ -74,7 +81,10 @@ def _position_to_lsn(position: Column) -> Column:
 
 
 def parse_maxwell(
-    raw: DataFrame, value_col: str = "value", table: str | None = None
+    raw: DataFrame,
+    value_col: str = "value",
+    table: str | None = None,
+    payload_schema: T.StructType | None = None,
 ) -> DataFrame:
     """Maxwell JSON envelope strings → canonical change events.
 
@@ -90,8 +100,9 @@ def parse_maxwell(
     # parse ONCE into a struct column, then filter/project from it — a
     # second from_json in a separate Filter operator would not be CSE'd
     # with the projection's parse, JSON-decoding every row twice
+    rs = payload_schema or _ROW_SCHEMA
     out = raw.filter(F.col(value_col).isNotNull()).select(
-        F.from_json(F.col(value_col), MAXWELL_VALUE_SCHEMA).alias("_env")
+        F.from_json(F.col(value_col), _value_schema(rs)).alias("_env")
     )
     p = F.col("_env")
     op_col: Column = F.lit(None).cast("string")
@@ -103,11 +114,7 @@ def parse_maxwell(
         op_col.alias("op"),
         _position_to_lsn(p["position"]).alias("lsn"),
         F.timestamp_seconds(p["ts"]).alias("ts"),
-        p["data"]["conv_id"].alias("conv_id"),
-        p["data"]["turn_idx"].alias("turn_idx"),
-        p["data"]["role"].alias("role"),
-        p["data"]["text"].alias("text"),
-        p["data"]["tool"].alias("tool"),
+        *[p["data"][f.name].alias(f.name) for f in rs.fields],
     )
 
 
@@ -140,8 +147,10 @@ def to_maxwell_json(
         F.col("lsn").alias("xid"),
         F.lit(True).alias("commit"),
         pos.alias("position"),
-        F.struct("conv_id", "turn_idx", "role", "text", "tool").alias(
-            "data"
-        ),
+        # row image inferred from the input's columns, so evolved
+        # streams render their new columns
+        F.struct(
+            *[c for c in changes.columns if c not in ("op", "lsn", "ts")]
+        ).alias("data"),
     )
     return changes.select(F.to_json(envelope).alias(value_col))

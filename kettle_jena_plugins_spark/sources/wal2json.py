@@ -80,6 +80,29 @@ WAL2JSON_VALUE_SCHEMA = T.StructType(
 
 _TX_FRAMING = ("B", "C")  # begin/commit — framing, not row changes
 
+# default projected row shape (the transcripts table, BASELINE.json
+# input_hint); evolution passes an extended schema via payload_schema
+_DEFAULT_ROW = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+    ]
+)
+
+# Spark simpleString → Postgres type name for the renderer's entries
+_PG_TYPES = {
+    "int": "integer",
+    "smallint": "smallint",
+    "bigint": "bigint",
+    "double": "double precision",
+    "float": "real",
+    "boolean": "boolean",
+    "timestamp": "timestamp with time zone",
+}
+
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
@@ -92,7 +115,10 @@ def _lsn_to_long(lsn: Column) -> Column:
 
 
 def parse_wal2json(
-    raw: DataFrame, value_col: str = "value", table: str | None = None
+    raw: DataFrame,
+    value_col: str = "value",
+    table: str | None = None,
+    payload_schema: T.StructType | None = None,
 ) -> DataFrame:
     """wal2json v2 envelope strings → canonical change events.
 
@@ -104,6 +130,10 @@ def parse_wal2json(
       contract, like Debezium's ``before``).
     - pass ``table`` to keep only the target table's rows (a logical
       slot streams every table of the database).
+    - ``payload_schema`` overrides the projected row shape for
+      mid-stream schema evolution; the column-array image is already
+      positional-free, so an extended schema just adds projections +
+      casts — the envelope schema itself never changes.
     """
     out = raw.filter(F.col(value_col).isNotNull()).select(
         F.from_json(F.col(value_col), WAL2JSON_VALUE_SCHEMA).alias("_env")
@@ -133,15 +163,15 @@ def parse_wal2json(
     ts = F.to_timestamp(
         F.regexp_replace(p["timestamp"], r"\+00(:00)?$", ""), _TS_FMT
     )
+    rs = payload_schema or _DEFAULT_ROW
     return out.select(
         op_col.alias("op"),
         _lsn_to_long(p["lsn"]).alias("lsn"),
         ts.alias("ts"),
-        row["conv_id"].alias("conv_id"),
-        row["turn_idx"].cast("int").alias("turn_idx"),
-        row["role"].alias("role"),
-        row["text"].alias("text"),
-        row["tool"].alias("tool"),
+        *[
+            row[f.name].cast(f.dataType).alias(f.name)
+            for f in rs.fields
+        ],
     )
 
 
@@ -184,15 +214,23 @@ def to_wal2json(
             ".%06d+00", F.pmod(F.unix_micros("ts"), F.lit(1_000_000))
         ),
     )
+    # row image inferred from the input's columns (evolved streams
+    # render their new columns); pg type names derive from Spark types
+    payload = [
+        f for f in changes.schema.fields if f.name not in ("op", "lsn", "ts")
+    ]
     row_json = F.concat(
         F.lit("["),
         F.concat_ws(
             ",",
-            _entry_json("conv_id", "text", F.col("conv_id")),
-            _entry_json("turn_idx", "integer", F.col("turn_idx")),
-            _entry_json("role", "text", F.col("role")),
-            _entry_json("text", "text", F.col("text")),
-            _entry_json("tool", "text", F.col("tool")),
+            *[
+                _entry_json(
+                    f.name,
+                    _PG_TYPES.get(f.dataType.simpleString(), "text"),
+                    F.col(f.name),
+                )
+                for f in payload
+            ],
         ),
         F.lit("]"),
     )

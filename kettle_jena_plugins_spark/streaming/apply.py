@@ -256,6 +256,7 @@ def run_stream(
     await_termination: bool = True,
     envelope_dialect: str | None = None,
     source_table: str | None = None,
+    envelope_payload_schema=None,
 ):
     """Tail a directory of change-event parquet files (the WAL), applying each
     micro-batch via foreachBatch. availableNow drains everything present and
@@ -281,7 +282,10 @@ def run_stream(
                 "maxFilesPerTrigger", max_files_per_trigger
             )
         stream = parse_envelope(
-            reader.text(events_dir), envelope_dialect, table=source_table
+            reader.text(events_dir),
+            envelope_dialect,
+            table=source_table,
+            payload_schema=envelope_payload_schema,
         )
     else:
         reader = spark.readStream.schema(schema)

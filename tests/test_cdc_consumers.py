@@ -827,6 +827,112 @@ def test_parse_envelope_dispatch_errors(spark):
         parse_envelope(raw, "debezium", table="transcripts")
 
 
+def test_envelope_schema_evolution_all_dialects(spark):
+    """An evolved producer's added column (tool_meta) and widened
+    turn_idx (int32→int64, the FIXTURES.md §2 evolution) survive every
+    wire dialect: renderers infer the row image from the input's
+    columns; parsers project the extension through payload_schema —
+    without it, from_json would silently drop the new column."""
+    from kettle_jena_plugins_spark.model import CHANGE_EVENT_SCHEMA_V2
+    from kettle_jena_plugins_spark.sources.envelopes import (
+        parse_envelope,
+        render_envelope,
+    )
+
+    ps = T.StructType(list(CHANGE_EVENT_SCHEMA_V2.fields[3:]))
+    ch = spark.createDataFrame(
+        [
+            ("I", 1, _ts(1), "c1", 0, "user", "x", "t", '{"k":"m1"}'),
+            ("U", 2, _ts(2), "c1", 1, "bot", "y", None, None),
+        ],
+        CHANGE_EVENT_SCHEMA_V2,
+    )
+    for dialect in ("debezium", "maxwell", "wal2json", "canal"):
+        env = render_envelope(ch, dialect)
+        back = (
+            parse_envelope(env, dialect, payload_schema=ps)
+            .orderBy("lsn")
+            .collect()
+        )
+        assert [r["tool_meta"] for r in back] == ['{"k":"m1"}', None], dialect
+        assert [r["turn_idx"] for r in back] == [0, 1], dialect
+        assert back[0]["text"] == "x" and back[1]["role"] == "bot", dialect
+        # without the extended schema the column silently drops — the
+        # documented reason payload_schema exists
+        legacy = parse_envelope(env, dialect).columns
+        assert "tool_meta" not in legacy, dialect
+
+
+def test_extended_payload_schema_spec():
+    """'name:type,...' spec builder: appends to the transcripts base
+    shape; rejects unknown types and duplicate names."""
+    import pytest
+
+    from kettle_jena_plugins_spark.sources.envelopes import (
+        extended_payload_schema,
+    )
+
+    ps = extended_payload_schema("tool_meta:string, score:double")
+    assert [f.name for f in ps.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "tool_meta", "score"
+    ]
+    assert ps["score"].dataType.simpleString() == "double"
+    with pytest.raises(ValueError, match="unsupported type"):
+        extended_payload_schema("x:decimal")
+    with pytest.raises(ValueError, match="already in the base"):
+        extended_payload_schema("tool:string")
+
+
+def test_cli_ingest_payload_cols_evolves_lake(spark, tmp_path, capsys):
+    """`run ingest --payload-cols`: a second batch of envelopes carrying
+    a NEW column evolves the lake (ALTER on first sight) and lands the
+    values; rows from the pre-evolution batch read back null there."""
+    import json as _json
+
+    from kettle_jena_plugins_spark.model import CHANGE_EVENT_SCHEMA
+    from kettle_jena_plugins_spark.run import main
+    from kettle_jena_plugins_spark.sources.debezium import to_debezium_json
+    from kettle_jena_plugins_spark.targets.parquet_lake import (
+        ParquetLakeTarget,
+    )
+
+    ch1 = _changes(
+        spark, [("I", 1, _ts(1), "c1", 0, "user", "hello", None)]
+    )
+    to_debezium_json(ch1).coalesce(1).write.text(str(tmp_path / "env0"))
+    v2 = T.StructType(
+        list(CHANGE_EVENT_SCHEMA.fields)
+        + [T.StructField("tool_meta", T.StringType(), True)]
+    )
+    ch2 = spark.createDataFrame(
+        [("I", 2, _ts(2), "c2", 1, "bot", "tooled", "calc", '{"v":9}')],
+        v2,
+    )
+    to_debezium_json(ch2).coalesce(1).write.text(str(tmp_path / "env1"))
+
+    tbl = str(tmp_path / "lake")
+    assert main(["create", "--table", tbl]) == 0
+    assert main(
+        ["ingest", "--envelopes", str(tmp_path / "env0"), "--dialect",
+         "debezium", "--table", tbl, "--batch-id", "0"]
+    ) == 0
+    assert main(
+        ["ingest", "--envelopes", str(tmp_path / "env1"), "--dialect",
+         "debezium", "--table", tbl, "--batch-id", "1",
+         "--payload-cols", "tool_meta:string"]
+    ) == 0
+    capsys.readouterr()
+
+    state = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["tool_meta"])
+        for r in ParquetLakeTarget(spark, tbl, mode=None).read().collect()
+    }
+    assert state == {
+        ("c1", 0): ("hello", None),
+        ("c2", 1): ("tooled", '{"v":9}'),
+    }
+
+
 def test_cli_index_probe_max_bucket(spark, tmp_path, capsys):
     """`run index probe --max-bucket N`: the hot-bucket guard is operator-
     tunable from the CLI (0 disables; default = MAX_BUCKET_DEFAULT)."""
