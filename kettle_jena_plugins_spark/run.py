@@ -32,7 +32,8 @@ Commands:
            `.ktr`-file entry point: reference EndToEndIT.java:60-92 runs a
            transformation file; here the spec is the JSON plan from
            plans/pipeline.py). --input changes:DIR derives the change
-           stream from DIR/events.parquet.
+           stream from DIR/events.parquet; --input envelopes:DIALECT:PATH
+           parses raw wire-format JSON lines (topic dump) first.
   bench    (see bench.py at repo root for the graded harness)
 """
 
@@ -445,6 +446,13 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.changes import change_events
 
             df = change_events(spark, args.input[len("changes:"):])
+        elif args.input.startswith("envelopes:"):
+            # envelopes:DIALECT:PATH — raw wire-format JSON lines as the
+            # pipeline input (the .ktr lifecycle over a topic dump)
+            from .sources.envelopes import parse_envelope
+
+            _, dialect, path = args.input.split(":", 2)
+            df = parse_envelope(spark.read.text(path), dialect)
         else:
             df = spark.read.parquet(args.input)
         t0 = time.time()

@@ -114,6 +114,38 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
     assert written.count() == events(spark).filter("op <> 'D'").count()
 
 
+def test_pipeline_cli_envelope_input(spark, tmp_path, capsys):
+    """`run pipeline --input envelopes:DIALECT:PATH`: the .ktr lifecycle
+    over a raw topic dump — wire-format JSON lines parse to canonical
+    events before the spec's steps run."""
+    import json as _json
+
+    from kettle_jena_plugins_spark.run import main
+    from kettle_jena_plugins_spark.sources.canal import to_canal_json
+
+    ch = events(spark).limit(40).cache()
+    to_canal_json(ch).coalesce(1).write.text(str(tmp_path / "env"))
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(
+        _json.dumps(
+            {"steps": [{"type": "filter", "condition": "op <> 'D'"}]}
+        )
+    )
+    rc = main(
+        ["pipeline", "--spec", str(spec_path),
+         "--input", f"envelopes:canal:{tmp_path / 'env'}", "--show", "0"]
+    )
+    assert rc == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    want = ch.filter("op <> 'D'").count()
+    assert lines[-1]["rows_out"] == want
+    ch.unpersist()
+
+
 def test_pipeline_json_string_input(spark):
     steps = parse(json.dumps(SPEC), variables={"ns": "http://x"})
     assert steps[1].conf["uri_prefix"] == "http://x/conv/"
