@@ -45,6 +45,11 @@ CHANGE_EVENT_SCHEMA = T.StructType(
     ]
 )
 
+# the row-image shape shared by every envelope dialect parser/renderer
+# (sources/*.py) — the payload slice of CHANGE_EVENT_SCHEMA, defined
+# once so the dialects cannot drift apart
+PAYLOAD_SCHEMA = T.StructType(list(CHANGE_EVENT_SCHEMA.fields[3:]))
+
 # mid-stream schema-evolution variant (FIXTURES.md §2): adds tool_meta and
 # widens turn_idx int32→int64
 CHANGE_EVENT_SCHEMA_V2 = T.StructType(

@@ -573,13 +573,13 @@ def shapes_from_ttl(
                 )
             else:
                 sink.append((f"node_kind:{dotted}", pred))
-        # sh:class — the value node must carry rdf:type = the class, i.e.
-        # the construct's substructure has an rdf:type child equal to the
-        # expanded class URI (JenaShaclStep delegates to Jena's full
-        # validator which walks the data graph; our relational carrying
-        # keeps the type ON the node's struct). Exact-equality semantics:
-        # no rdfs:subClassOf subsumption (document-level non-goal). A
-        # class constraint over a path without an rdf:type child fails
+        # sh:class — the value node must carry rdf:type = the class OR
+        # any rdfs:subClassOf* descendant declared in the shapes file
+        # (class_closure above; SHACL's real subsumption semantics —
+        # JenaShaclStep delegates to Jena's full validator which walks
+        # the data graph; our relational carrying keeps the type ON the
+        # node's struct and the ontology in the shapes graph). A class
+        # constraint over a path without an rdf:type child fails
         # ANALYSIS loudly — never silently under-validates.
         sh_class = prop.get(SH + "class", [None])[0]
         if isinstance(sh_class, str):

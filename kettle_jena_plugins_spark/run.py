@@ -235,6 +235,11 @@ def main(argv: list[str] | None = None) -> int:
         tgt.create()
         print(json.dumps({"created": args.table, "mode": tgt.mode}))
     elif args.cmd == "stream":
+        if args.dialect is None and (args.source_table or args.payload_cols):
+            ap.error(
+                "--source-table/--payload-cols require --dialect "
+                "(they only apply to envelope input)"
+            )
         tgt = ParquetLakeTarget(spark, args.table, mode=mode)
         cfg = CDCConfig(salted=args.salted, metrics_path=args.metrics)
         t0 = time.time()
@@ -297,11 +302,13 @@ def main(argv: list[str] | None = None) -> int:
 
             ev = tgt.changelog_as_events(
                 args.from_version, args.to_version
-            )
+            ).cache()  # one changelog computation for count + write
+            n = ev.count()
             env = render_envelope(ev, args.emit_dialect)
             env.write.mode("overwrite").text(args.out)
+            ev.unpersist()
             print(json.dumps({
-                "changed_keys": ev.count(),
+                "changed_keys": n,
                 "dialect": args.emit_dialect,
                 "out": args.out,
             }))
@@ -451,8 +458,13 @@ def main(argv: list[str] | None = None) -> int:
             # pipeline input (the .ktr lifecycle over a topic dump)
             from .sources.envelopes import parse_envelope
 
-            _, dialect, path = args.input.split(":", 2)
-            df = parse_envelope(spark.read.text(path), dialect)
+            parts = args.input.split(":", 2)
+            if len(parts) != 3 or not parts[2]:
+                ap.error(
+                    "--input envelope form is envelopes:DIALECT:PATH "
+                    f"(got {args.input!r})"
+                )
+            df = parse_envelope(spark.read.text(parts[2]), parts[1])
         else:
             df = spark.read.parquet(args.input)
         t0 = time.time()

@@ -117,15 +117,21 @@ def parse_canal(
     p = F.col("_env")
     out = out.filter(~F.coalesce(p["isDdl"], F.lit(False)))
     if table is not None:
-        out = out.filter(p["table"] == table)
+        # null-safe: a malformed envelope (null table) must reach the
+        # dead-letter split as a null-op row, not vanish in this filter
+        out = out.filter(p["table"].isNull() | (p["table"] == table))
     op_col: Column = F.lit(None).cast("string")
     for k, v in _OP_IN.items():
         op_col = F.when(p["type"] == k, F.lit(v)).otherwise(op_col)
+    # posexplode_OUTER: a malformed line (from_json → null struct) or a
+    # non-DDL message with no/empty `data` still emits one null-image
+    # row — null op / null keys route to the dead-letter split instead
+    # of silently disappearing (the wal2json null-safety contract)
     exploded = out.select(
         op_col.alias("op"),
         p["id"].alias("_id"),
         p["es"].alias("_es"),
-        F.posexplode(p["data"]).alias("_pos", "_row"),
+        F.posexplode_outer(p["data"]).alias("_pos", "_row"),
     )
     r = F.col("_row")
     rs = payload_schema or _DEFAULT_ROW
@@ -138,16 +144,9 @@ def parse_canal(
 
 
 # default projected row shape (the transcripts table, BASELINE.json
-# input_hint); evolution passes an extended schema via payload_schema
-_DEFAULT_ROW = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType(), True),
-        T.StructField("turn_idx", T.IntegerType(), True),
-        T.StructField("role", T.StringType(), True),
-        T.StructField("text", T.StringType(), True),
-        T.StructField("tool", T.StringType(), True),
-    ]
-)
+# input_hint) — shared across dialects via model.py; evolution passes
+# an extended schema via payload_schema
+from ..model import PAYLOAD_SCHEMA as _DEFAULT_ROW
 
 # Spark simpleString → (java.sql.Types code, mysql type name) for the
 # renderer's sqlType/mysqlType side maps (parse never reads them — the

@@ -28,16 +28,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # row image carried in before/after (the transcripts table shape,
-# BASELINE.json input_hint)
-_ROW_SCHEMA = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType(), True),
-        T.StructField("turn_idx", T.IntegerType(), True),
-        T.StructField("role", T.StringType(), True),
-        T.StructField("text", T.StringType(), True),
-        T.StructField("tool", T.StringType(), True),
-    ]
-)
+# BASELINE.json input_hint) — shared across dialects via model.py
+from ..model import PAYLOAD_SCHEMA as _ROW_SCHEMA
+
 
 def _value_schema(row_schema: T.StructType) -> T.StructType:
     """Envelope schema for a given row-image shape (schema evolution:

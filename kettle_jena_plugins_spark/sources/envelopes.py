@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ..model import CHANGE_EVENT_SCHEMA
+from ..model import PAYLOAD_SCHEMA
 from .canal import parse_canal, to_canal_json
 from .debezium import parse_debezium, to_debezium_json
 from .maxwell import parse_maxwell, to_maxwell_json
@@ -113,7 +113,7 @@ def extended_payload_schema(spec: str) -> T.StructType:
     ``payload_schema`` / the CLI's ``--payload-cols``). Mid-stream
     schema evolution: the producer added columns; the consumer names
     them here; the lake ALTERs on first sight (plans/evolution.py)."""
-    base = list(CHANGE_EVENT_SCHEMA.fields[3:])
+    base = list(PAYLOAD_SCHEMA.fields)
     names = {f.name for f in base}
     for part in filter(None, (p.strip() for p in spec.split(","))):
         name, _, typ = part.partition(":")

@@ -34,16 +34,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# full row image (the transcripts table shape, BASELINE.json input_hint)
-_ROW_SCHEMA = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType(), True),
-        T.StructField("turn_idx", T.IntegerType(), True),
-        T.StructField("role", T.StringType(), True),
-        T.StructField("text", T.StringType(), True),
-        T.StructField("tool", T.StringType(), True),
-    ]
-)
+# full row image (the transcripts table shape, BASELINE.json
+# input_hint) — shared across dialects via model.py
+from ..model import PAYLOAD_SCHEMA as _ROW_SCHEMA
 
 def _value_schema(row_schema: T.StructType) -> T.StructType:
     """Envelope schema for a given row-image shape (schema evolution:
@@ -109,7 +102,9 @@ def parse_maxwell(
     for k, v in _OP_IN.items():
         op_col = F.when(p["type"] == k, F.lit(v)).otherwise(op_col)
     if table is not None:
-        out = out.filter(p["table"] == table)
+        # null-safe: a malformed envelope (null table) must reach the
+        # dead-letter split as a null-op row, not vanish in this filter
+        out = out.filter(p["table"].isNull() | (p["table"] == table))
     return out.select(
         op_col.alias("op"),
         _position_to_lsn(p["position"]).alias("lsn"),

@@ -81,16 +81,9 @@ WAL2JSON_VALUE_SCHEMA = T.StructType(
 _TX_FRAMING = ("B", "C")  # begin/commit — framing, not row changes
 
 # default projected row shape (the transcripts table, BASELINE.json
-# input_hint); evolution passes an extended schema via payload_schema
-_DEFAULT_ROW = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType(), True),
-        T.StructField("turn_idx", T.IntegerType(), True),
-        T.StructField("role", T.StringType(), True),
-        T.StructField("text", T.StringType(), True),
-        T.StructField("tool", T.StringType(), True),
-    ]
-)
+# input_hint) — shared across dialects via model.py; evolution passes
+# an extended schema via payload_schema
+from ..model import PAYLOAD_SCHEMA as _DEFAULT_ROW
 
 # Spark simpleString → Postgres type name for the renderer's entries
 _PG_TYPES = {
@@ -145,7 +138,9 @@ def parse_wal2json(
         ~F.coalesce(p["action"].isin(*_TX_FRAMING), F.lit(False))
     )
     if table is not None:
-        out = out.filter(p["table"] == table)
+        # null-safe like the framing filter above: a malformed envelope
+        # (null table) must reach the dead-letter split, not vanish
+        out = out.filter(p["table"].isNull() | (p["table"] == table))
     op_col: Column = (
         F.when(p["action"].isin("I", "U", "D"), p["action"])
         .otherwise(F.lit(None))

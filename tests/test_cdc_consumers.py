@@ -827,6 +827,34 @@ def test_parse_envelope_dispatch_errors(spark):
         parse_envelope(raw, "debezium", table="transcripts")
 
 
+def test_malformed_envelopes_reach_dead_letter_not_dropped(spark):
+    """A corrupted JSON line must surface as a null-op row for the
+    dead-letter split in EVERY dialect — even with a table filter set
+    (a malformed envelope has a null table, which must pass the filter,
+    not vanish in it) and through Canal's exploded form
+    (posexplode_outer emits a null-image row for null/empty data)."""
+    from kettle_jena_plugins_spark.sources.envelopes import parse_envelope
+
+    garbage = '{"truncated": '
+    for dialect in ("maxwell", "wal2json", "canal"):
+        raw = spark.createDataFrame([(garbage,)], "value string")
+        out = parse_envelope(raw, dialect, table="transcripts").collect()
+        assert len(out) == 1 and out[0]["op"] is None, dialect
+    raw = spark.createDataFrame([(garbage,)], "value string")
+    out = parse_envelope(raw, "debezium").collect()
+    assert len(out) == 1 and out[0]["op"] is None
+    # canal: a non-DDL message with EMPTY data also surfaces (null keys
+    # route to dead-letter) instead of disappearing in the explode
+    raw = spark.createDataFrame(
+        [('{"id":9,"database":"app","table":"transcripts","isDdl":false,'
+          '"type":"INSERT","es":1767225601000,"data":[]}',)],
+        "value string",
+    )
+    out = parse_envelope(raw, "canal", table="transcripts").collect()
+    assert len(out) == 1 and out[0]["op"] == "I"
+    assert out[0]["conv_id"] is None and out[0]["lsn"] is None
+
+
 def test_envelope_schema_evolution_all_dialects(spark):
     """An evolved producer's added column (tool_meta) and widened
     turn_idx (int32→int64, the FIXTURES.md §2 evolution) survive every
