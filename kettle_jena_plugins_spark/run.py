@@ -72,6 +72,11 @@ def main(argv: list[str] | None = None) -> int:
     g = sub.add_parser("gen-wal")
     g.add_argument("--out", required=True)
     g.add_argument("--segments", type=int, default=8)
+    g.add_argument("--dialect", default=None,
+                   choices=("canal", "debezium", "maxwell", "wal2json"),
+                   help="write the WAL as wire-format JSON lines in this "
+                   "dialect instead of change-event parquet (fixture for "
+                   "`stream --dialect` / `ingest`)")
     _add_gen_knobs(g)
 
     c = sub.add_parser("create")
@@ -220,14 +225,23 @@ def main(argv: list[str] | None = None) -> int:
             evolve_at=args.evolve_at,
             seed=args.seed,
         )
-        # one flat parquet file per lsn-range segment (flat layout: the
+        # one flat file per lsn-range segment (flat layout: the
         # streaming file source treats each file as an increment)
-        (
-            df.repartitionByRange(args.segments, "lsn")
-            .write.mode("overwrite")
-            .parquet(args.out)
-        )
-        print(json.dumps({"wal": args.out, "events": df.count()}))
+        segs = df.repartitionByRange(args.segments, "lsn")
+        if args.dialect:
+            from .sources.envelopes import render_envelope
+
+            # render is a narrow projection, so the range partitioning
+            # (and hence the segment files) carries through
+            render_envelope(segs, args.dialect).write.mode(
+                "overwrite"
+            ).text(args.out)
+        else:
+            segs.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "wal": args.out, "events": df.count(),
+            **({"dialect": args.dialect} if args.dialect else {}),
+        }))
     elif args.cmd == "create":
         tgt = ParquetLakeTarget(
             spark, args.table, n_buckets=args.n_buckets, mode=mode or "cow"
