@@ -58,9 +58,10 @@ against a constructed document validates it directly:
     spec = ValidationSpec(shapes=shapes, any_of=any_of,
                           constraints=constraints, ...)
 
-Remaining out-of-scope vocabulary (named-shape references inside
-sh:and/or/not — inline shapes only — and structural keys inside inline
-shapes) is
+sh:and/or/not/qualifiedValueShape members may be inline blank nodes OR
+references to NAMED helper shapes (resolved one level deep to their
+value constraints). Remaining out-of-scope vocabulary (nested
+composition and structural keys inside those members) is
 NOT silently dropped: each occurrence raises a ``ShaclUnsupportedWarning``
 (or ValueError with ``strict=True``) — the reference's Jena delegates to a
 full SHACL engine (JenaShaclStep.java:94-108), so a shapes file using
@@ -664,6 +665,33 @@ def shapes_from_ttl(
                         "sh:and/sh:not shape", where
                     )
 
+        def resolve_inline(sub):
+            """An inline blank-node shape (dict) as-is, or a NAMED shape
+            reference resolved to its declaration's predicate dict —
+            sh:and/or/not/qualifiedValueShape members may cite
+            ``ex:HelperShape``, whose value constraints (datatype /
+            pattern / in / …) then compile exactly like an inline
+            member. Structural vocabulary inside the resolved shape
+            still warns via check_inline_keys. None = unresolvable."""
+            if isinstance(sub, dict):
+                return sub
+            if isinstance(sub, str) and sub in by_subject:
+                return by_subject[sub]
+            return None
+
+        def compile_resolved(sub, fn) -> bool:
+            """Run ``fn(shape_dict)`` for an inline or resolved named
+            member. Resolution is exactly ONE level deep by
+            construction: members compile value constraints only
+            (check_inline_keys warns on nested composition), so a
+            cyclic A→B→A reference chain is structurally unreachable.
+            False = unresolvable (caller emits its unsupported())."""
+            d = resolve_inline(sub)
+            if d is None:
+                return False
+            fn(d)
+            return True
+
         # sh:and ( s1 s2 … ): conjunction of INLINE one-column shapes over
         # the same value nodes — each compiles exactly as if its
         # constraints were declared on the property directly (conjunction
@@ -672,11 +700,15 @@ def shapes_from_ttl(
         if and_list is not None:
             subs = and_list if isinstance(and_list, list) else [and_list]
             for sub in subs:
-                if isinstance(sub, dict):
-                    check_inline_keys(sub, dotted)
-                    lexical_checks(sub, dotted)
-                else:
-                    unsupported("sh:and over a non-inline shape", dotted)
+                def _and_member(d, where=dotted):
+                    check_inline_keys(d, where)
+                    lexical_checks(d, where)
+
+                if not compile_resolved(sub, _and_member):
+                    unsupported(
+                        "sh:and over an unresolvable shape reference",
+                        dotted,
+                    )
         # sh:not [ … ]: the value must NOT conform to the inner shape —
         # violation when the value EXISTS and none of the inner shape's
         # compiled violation predicates fire (i.e. it conforms). Inner
@@ -684,10 +716,13 @@ def shapes_from_ttl(
         # emitted standalone.
         not_shape = prop.get(SH + "not", [None])[0]
         if not_shape is not None:
-            if isinstance(not_shape, dict):
-                check_inline_keys(not_shape, dotted)
-                inner_sink: list[tuple[str, str]] = []
-                lexical_checks(not_shape, dotted, sink=inner_sink)
+            inner_sink: list[tuple[str, str]] = []
+
+            def _not_member(d, where=dotted, sink=inner_sink):
+                check_inline_keys(d, where)
+                lexical_checks(d, where, sink=sink)
+
+            if compile_resolved(not_shape, _not_member):
                 if inner_sink:
                     inner = " OR ".join(
                         f"({pred})" for _, pred in inner_sink
@@ -703,7 +738,9 @@ def shapes_from_ttl(
                         "sh:not with no compilable constraints", dotted
                     )
             else:
-                unsupported("sh:not over a non-inline shape", dotted)
+                unsupported(
+                    "sh:not over an unresolvable shape reference", dotted
+                )
         # sh:or ( s1 s2 … ) over inline one-column shapes: the value must
         # conform to AT LEAST ONE member — violation when it exists and
         # every member shape has ≥1 violation predicate firing (AND over
@@ -715,10 +752,13 @@ def shapes_from_ttl(
             member_preds: list[str] = []
             compilable = True
             for sub in subs:
-                if isinstance(sub, dict):
-                    check_inline_keys(sub, dotted)
-                    tmp: list[tuple[str, str]] = []
-                    lexical_checks(sub, dotted, sink=tmp)
+                tmp: list[tuple[str, str]] = []
+
+                def _or_member(d, where=dotted, sink=tmp):
+                    check_inline_keys(d, where)
+                    lexical_checks(d, where, sink=sink)
+
+                if compile_resolved(sub, _or_member):
                     if tmp:
                         member_preds.append(
                             "(" + " OR ".join(f"({p})" for _, p in tmp) + ")"
@@ -731,7 +771,10 @@ def shapes_from_ttl(
                         )
                 else:
                     compilable = False
-                    unsupported("sh:or over a non-inline shape", dotted)
+                    unsupported(
+                        "sh:or over an unresolvable shape reference",
+                        dotted,
+                    )
             if compilable and member_preds:
                 constraints.append(
                     (
@@ -754,15 +797,21 @@ def shapes_from_ttl(
         qmin = prop.get(SH + "qualifiedMinCount", [None])[0]
         qmax = prop.get(SH + "qualifiedMaxCount", [None])[0]
         if qshape is not None or qmin is not None or qmax is not None:
-            if not isinstance(qshape, dict):
+            tmp = []
+
+            def _q_member(d, sink=tmp):
+                check_inline_keys(d, dotted)
+                lexical_checks(d, "x", sink=sink)
+
+            resolved_q = qshape is not None and compile_resolved(
+                qshape, _q_member
+            )
+            if not resolved_q:
                 unsupported(
-                    "sh:qualifiedMin/MaxCount without an inline "
+                    "sh:qualifiedMin/MaxCount without a resolvable "
                     "sh:qualifiedValueShape", dotted
                 )
             else:
-                check_inline_keys(qshape, dotted)
-                tmp = []
-                lexical_checks(qshape, "x", sink=tmp)
                 if not tmp:
                     unsupported(
                         "sh:qualifiedValueShape with no compilable "

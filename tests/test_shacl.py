@@ -350,6 +350,67 @@ def test_nodekind_and_class_constraints(spark):
     }
 
 
+def test_named_shape_refs_in_or_and_not(spark):
+    """sh:or / sh:not members may cite NAMED helper shapes (not just
+    inline blank nodes): the reference resolves to the helper's value
+    constraints with no ShaclUnsupportedWarning; a cyclic reference
+    chain fails analysis loudly instead of recursing forever."""
+    import warnings as _w
+
+    import pytest
+
+    from kettle_jena_plugins_spark.operators.shacl import (
+        ShaclUnsupportedWarning,
+    )
+
+    ttl = """
+    @prefix ex: <http://example.org/x#> .
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    ex:Digits a sh:NodeShape ; sh:pattern "^[0-9]+$" .
+    ex:Word   a sh:NodeShape ; sh:pattern "^[a-z]+$" .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:v ; sh:or ( ex:Digits ex:Word ) ; ] ;
+        sh:property [ sh:path ex:w ; sh:not ex:Digits ; ] .
+    """
+    with _w.catch_warnings():
+        _w.simplefilter("error", ShaclUnsupportedWarning)
+        _, _, constraints = shapes_from_ttl(ttl)
+    reasons = {r for r, _ in constraints}
+    assert reasons == {"or:ex_v", "not:ex_w"}
+    df = spark.createDataFrame(
+        [
+            ("123", "abc"),   # v: digits member ok; w: not-digits ok
+            ("abc", "55"),    # v: word member ok; w: digits → not fires
+            ("a1", "x"),      # v: conforms to NEITHER member → or fires
+            (None, None),     # vacuous
+        ],
+        "ex_v string, ex_w string",
+    )
+    spec = ValidationSpec(
+        require_keys=(), require_ts=False, constraints=constraints
+    )
+    stats = {
+        r["reason"]: r["n"] for r in dead_letter_stats(df, spec).collect()
+    }
+    assert stats == {"or:ex_v": 1, "not:ex_w": 1}
+
+    # a referenced shape whose body nests FURTHER composition (sh:not
+    # inside the member) is outside the one-level resolution contract:
+    # it must fail loudly in strict mode, never silently under-validate
+    # (and structurally cannot recurse — members compile value
+    # constraints only, so an A→B→A chain is unreachable)
+    nested = """
+    @prefix ex: <http://example.org/x#> .
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    ex:A a sh:NodeShape ; sh:not ex:B .
+    ex:B a sh:NodeShape ; sh:pattern "^[0-9]+$" .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:v ; sh:not ex:A ; ] .
+    """
+    with pytest.raises(ValueError, match="cannot enforce"):
+        shapes_from_ttl(nested, strict=True)
+
+
 def test_class_subsumption_via_subclassof(spark):
     """sh:class honors rdfs:subClassOf* declared in the shapes file
     (SHACL's real semantics — Jena deployments ship the ontology with
