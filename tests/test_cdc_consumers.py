@@ -827,6 +827,43 @@ def test_parse_envelope_dispatch_errors(spark):
         parse_envelope(raw, "debezium", table="transcripts")
 
 
+def test_envelope_roundtrip_adversarial_strings(spark):
+    """Escaping torture for all four dialect renderers/parsers in one
+    pass: quotes, backslashes, control chars, JSON-in-JSON, non-BMP
+    unicode, NUL, bidi text and long payloads must survive the
+    render→parse trip byte-identically (the renderers lean on to_json
+    for authentic escaping — this pins that property corpus-wide)."""
+    from kettle_jena_plugins_spark.sources.envelopes import (
+        DIALECTS,
+        parse_envelope,
+        render_envelope,
+    )
+
+    nasty = [
+        "plain", "", " ", '"quoted"', "back\\slash", "new\nline",
+        "tab\there", "cr\rreturn", "uni ✓ ☃ 漢字 🚀", "ctrl\x01\x1f",
+        'json {"k": [1, 2], "s": "v"}', "</script><b>",
+        "'; DROP TABLE t;--", "a" * 500, "\\u0041 not an escape",
+        "trailing space ", "zażółć gęślą jaźń", "עברית והערבية معًا",
+        "line1\nline2\nline3", 'mix "q\\b"\n\tend', "nul\x00byte",
+    ]
+    rows = [
+        ("I", i + 1, _ts(1), f"c{i}", i, "u", t, None)
+        for i, t in enumerate(nasty)
+    ]
+    ch = _changes(spark, rows)
+    for dialect in DIALECTS:
+        back = (
+            parse_envelope(render_envelope(ch, dialect), dialect)
+            .orderBy("turn_idx")
+            .collect()
+        )
+        assert len(back) == len(rows), dialect
+        for r, row in zip(back, rows):
+            assert r["text"] == row[6], (dialect, repr(row[6]))
+            assert r["conv_id"] == row[3] and r["op"] == "I", dialect
+
+
 def test_malformed_envelopes_reach_dead_letter_not_dropped(spark):
     """A corrupted JSON line must surface as a null-op row for the
     dead-letter split in EVERY dialect — even with a table filter set
