@@ -9,7 +9,7 @@ Commands:
            checkpoint/resume semantics identical)
   apply    --events PATH --table DIR --batch-id N          one batch
   ingest   --envelopes PATH --dialect D --table DIR --batch-id N
-           raw wire-format JSON lines (canal|debezium|maxwell|wal2json)
+           raw wire-format JSON lines (canal|debezium|dms|maxwell|wal2json)
            → parse (sources/envelopes.py) → validate/dead-letter →
            exactly-once MERGE — the whole-pipeline form of `apply` for
            streams that arrive as envelopes instead of parquet events
@@ -47,6 +47,7 @@ import time
 from pyspark.sql import functions as F
 
 from .datagen import gen_change_events
+from .sources.envelopes import DIALECTS
 from .session import get_spark
 from .streaming.apply import CDCConfig, apply_batch, run_stream
 from .targets.parquet_lake import ParquetLakeTarget
@@ -73,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--out", required=True)
     g.add_argument("--segments", type=int, default=8)
     g.add_argument("--dialect", default=None,
-                   choices=("canal", "debezium", "maxwell", "wal2json"),
+                   choices=DIALECTS,
                    help="write the WAL as wire-format JSON lines in this "
                    "dialect instead of change-event parquet (fixture for "
                    "`stream --dialect` / `ingest`)")
@@ -94,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--salted", action="store_true")
     s.add_argument("--max-files-per-trigger", type=int, default=None)
     s.add_argument("--dialect", default=None,
-                   choices=("canal", "debezium", "maxwell", "wal2json"),
+                   choices=DIALECTS,
                    help="tail --wal as raw wire-format JSON lines in this "
                    "dialect instead of change-event parquet")
     s.add_argument("--source-table", default=None,
@@ -118,7 +119,7 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--envelopes", required=True,
                      help="JSON-lines file/dir/glob of raw CDC envelopes")
     ing.add_argument("--dialect", required=True,
-                     choices=("canal", "debezium", "maxwell", "wal2json"))
+                     choices=DIALECTS)
     ing.add_argument("--table", required=True)
     ing.add_argument("--batch-id", type=int, required=True)
     ing.add_argument("--source-table", default=None,
@@ -145,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--to-version", type=int, required=True)
     ch.add_argument("--limit", type=int, default=20)
     ch.add_argument("--emit-dialect", default=None,
-                    choices=("canal", "debezium", "maxwell", "wal2json"),
+                    choices=DIALECTS,
                     help="write the net changelog as wire-format JSON "
                     "lines in this dialect (changelog fan-out)")
     ch.add_argument("--out", default=None,

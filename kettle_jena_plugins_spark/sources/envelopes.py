@@ -1,7 +1,8 @@
 """One front door for every supported CDC wire dialect.
 
-The four envelope parsers (sources/debezium.py, sources/maxwell.py,
-sources/wal2json.py, sources/canal.py) all produce the same canonical
+The five envelope parsers (sources/debezium.py, sources/maxwell.py,
+sources/wal2json.py, sources/canal.py, sources/dms.py) all produce the
+same canonical
 change-event schema (model.CHANGE_EVENT_SCHEMA), so the rest of the
 engine — validation split, LWW reduce, schema evolution, exactly-once
 MERGE (streaming/apply.py) — is dialect-agnostic. ``parse_envelope``
@@ -28,12 +29,14 @@ from pyspark.sql import types as T
 from ..model import PAYLOAD_SCHEMA
 from .canal import parse_canal, to_canal_json
 from .debezium import parse_debezium, to_debezium_json
+from .dms import parse_dms, to_dms_json
 from .maxwell import parse_maxwell, to_maxwell_json
 from .wal2json import parse_wal2json, to_wal2json
 
 #: dialect name → (parser, supports in-stream table filtering)
 _DIALECTS = {
     "debezium": (parse_debezium, False),
+    "dms": (parse_dms, True),
     "maxwell": (parse_maxwell, True),
     "wal2json": (parse_wal2json, True),
     "canal": (parse_canal, True),
@@ -133,6 +136,7 @@ def extended_payload_schema(spec: str) -> T.StructType:
 _RENDERERS = {
     "canal": to_canal_json,
     "debezium": to_debezium_json,
+    "dms": to_dms_json,
     "maxwell": to_maxwell_json,
     "wal2json": to_wal2json,
 }
