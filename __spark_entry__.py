@@ -362,6 +362,78 @@ def q_cdc_canal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_dms_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth wire-format round trip (AWS DMS Kinesis/Kafka envelopes, the
+    managed-replication format): render the change stream as DMS JSON
+    (data/metadata split, operation insert|update|delete, microsecond
+    ISO-8601 ``Z`` timestamp, transaction-id), parse it back
+    (sources/dms.py) and LWW-reduce the PARSED stream. DMS preserves
+    microsecond ts and carries the lsn verbatim in transaction-id, so
+    the oracle is the plain-columns LWW SQL — a green hash proves the
+    data/metadata envelope, the ISO timestamp text and the op mapping
+    all survive the trip in LWW order."""
+    from kettle_jena_plugins_spark.sources.dms import parse_dms, to_dms_json
+
+    ch = change_events(spark, sf_dir)
+    parsed = parse_dms(to_dms_json(ch), table="transcripts")
+    return lww_state(parsed).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
+def q_cdc_lww_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level LWW over PARTIAL row images (operators/lww.py
+    lww_state_partial): sparse U events write only the columns their lsn
+    selects (role iff lsn%2=0, text iff lsn%3>0, tool iff lsn%5<3 — a
+    deterministic stand-in for Mongo $set / Cassandra cell writes /
+    wal2json without REPLICA IDENTITY FULL), I writes all cells, D is a
+    row tombstone shadowing older cells. One hash aggregation resolves
+    every cell and the tombstone in a single shuffle. The oracle
+    replays the identical cell semantics with filtered struct-max
+    aggregates in DuckDB."""
+    from kettle_jena_plugins_spark.operators.lww import lww_state_partial
+
+    ch = change_events(spark, sf_dir)
+    is_i = F.col("op") == "I"
+    is_u = F.col("op") == "U"
+    role_set = is_i | (is_u & (F.col("lsn") % 2 == 0))
+    text_set = is_i | (is_u & (F.col("lsn") % 3 > 0))
+    tool_set = is_i | (is_u & (F.col("lsn") % 5 < 3))
+
+    def _tag(flag, name):
+        return F.when(flag, F.array(F.lit(name))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    sparse = ch.select(
+        "op",
+        "lsn",
+        "ts",
+        "conv_id",
+        "turn_idx",
+        F.when(role_set, F.col("role")).alias("role"),
+        F.when(text_set, F.col("text")).alias("text"),
+        F.when(tool_set, F.col("tool")).alias("tool"),
+        F.concat(
+            _tag(role_set, "role"), _tag(text_set, "text"), _tag(tool_set, "tool")
+        ).alias("set_cols"),
+    )
+    st = lww_state_partial(sparse)
+    return st.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
 def q_cdc_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order accounting per conversation shard: how many events arrive
     with an event time below the shard's running maximum (WAL/lsn order), and
@@ -1742,6 +1814,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_maxwell_parse": q_cdc_maxwell_parse,
     "cdc_wal2json_parse": q_cdc_wal2json_parse,
     "cdc_canal_parse": q_cdc_canal_parse,
+    "cdc_dms_parse": q_cdc_dms_parse,
+    "cdc_lww_partial": q_cdc_lww_partial,
     "cdc_lww_state_window": q_cdc_lww_state_window,
     "cdc_final_op_counts": q_cdc_final_op_counts,
     "cdc_lag_metrics": q_cdc_lag_metrics,
@@ -3326,6 +3400,55 @@ ranked AS (
 )
 SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
 FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+    # cdc_dms_parse: DMS preserves microsecond ts (ISO-8601 Z text) and the
+    # lsn verbatim (transaction-id), so the plain LWW oracle applies.
+    "cdc_dms_parse": _LWW_RANKED
+    + """
+SELECT conv_id, turn_idx, role, text, tool, lsn AS last_lsn
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+    # cdc_lww_partial: column-level LWW over sparse row images — per-cell
+    # filtered struct-max aggregates replay lww_state_partial's semantics:
+    # a D tombstone shadows older cells; each cell is its latest set-write;
+    # the row exists iff some I/U is newer than the latest tombstone. The
+    # set-column selectors mirror the query's lsn-derived fixture exactly.
+    "cdc_lww_partial": f"""
+WITH {CHANGES_ORACLE_CTE},
+p AS (
+    SELECT conv_id, turn_idx, op, lsn, ts, role, text, tool,
+           (op='I' OR (op='U' AND lsn%2=0)) AS role_set,
+           (op='I' OR (op='U' AND lsn%3>0)) AS text_set,
+           (op='I' OR (op='U' AND lsn%5<3)) AS tool_set
+    FROM changes
+),
+a AS (
+    SELECT conv_id, turn_idx,
+           max(CASE WHEN op='D'
+               THEN struct_pack(ts := ts, lsn := lsn) END) AS del_o,
+           max(CASE WHEN op<>'D'
+               THEN struct_pack(ts := ts, lsn := lsn) END) AS live_o,
+           max(CASE WHEN op<>'D' AND role_set
+               THEN struct_pack(o := struct_pack(ts := ts, lsn := lsn),
+                                v := role) END) AS w_role,
+           max(CASE WHEN op<>'D' AND text_set
+               THEN struct_pack(o := struct_pack(ts := ts, lsn := lsn),
+                                v := text) END) AS w_text,
+           max(CASE WHEN op<>'D' AND tool_set
+               THEN struct_pack(o := struct_pack(ts := ts, lsn := lsn),
+                                v := tool) END) AS w_tool
+    FROM p GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN w_role IS NOT NULL AND (del_o IS NULL OR w_role.o > del_o)
+            THEN w_role.v END AS role,
+       CASE WHEN w_text IS NOT NULL AND (del_o IS NULL OR w_text.o > del_o)
+            THEN w_text.v END AS text,
+       CASE WHEN w_tool IS NOT NULL AND (del_o IS NULL OR w_tool.o > del_o)
+            THEN w_tool.v END AS tool,
+       live_o.lsn AS last_lsn
+FROM a
+WHERE live_o IS NOT NULL AND (del_o IS NULL OR live_o > del_o)
 """,
     "cdc_scd2_history": f"""
 WITH {CHANGES_ORACLE_CTE},

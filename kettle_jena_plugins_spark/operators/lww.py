@@ -85,6 +85,86 @@ def lww_reduce_salted(
     return lww_reduce(phase1, keys=keys, order=order)
 
 
+def lww_state_partial(
+    changes: DataFrame,
+    keys: Sequence[str] = MERGE_KEYS,
+    order: Sequence[str] = LWW_ORDER,
+    set_col: str = "set_cols",
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """Column-level LWW for PARTIAL row images (sparse updates).
+
+    The whole-row forms above assume every U event carries the full row
+    image — true for Debezium/Maxwell/DMS, but not for sources that ship
+    only the touched columns (Mongo oplog ``$set`` patches, Cassandra
+    cell writes, Debezium partial images, wal2json without REPLICA
+    IDENTITY FULL). Contract here: each event carries ``set_col`` — an
+    array of the payload column names this event actually WROTE.
+    Columns absent from the array are "untouched" regardless of their
+    (null) value; an explicit null write lists the column with a null
+    value. Reference analogue: this is Group-and-Merge's USE_LAST
+    (OtherFieldAction.java:46) applied per FIELD instead of per row —
+    the reference's per-column policy map (JenaGroupMergeStepMeta's
+    field/action pairs) already scopes last-writer to single columns.
+
+    Semantics (the Cassandra cell model):
+    - a D event is a row tombstone shadowing every cell written before
+      it in the (ts, lsn) total order;
+    - each cell's value is its latest set-write, if newer than the
+      tombstone;
+    - the row exists iff any I/U event is newer than the latest
+      tombstone (so a post-delete partial update revives the row with
+      only its own cells — older cells stay dead).
+
+    Scale design: ONE hash aggregation — per-column filtered
+    ``max(struct(order, value))`` plus the tombstone/liveness maxes —
+    so map-side partial aggregation applies to every cell column and
+    only ~n_keys rows cross the wire, exactly like lww_reduce. No
+    window, no second shuffle, no Python. Output: keys, resolved cells,
+    and the order columns of the latest live event.
+    """
+    if payload is None:
+        payload = [
+            c
+            for c in changes.columns
+            if c not in (*keys, *order, "op", set_col)
+        ]
+    ord_s = F.struct(*[F.col(c) for c in order])
+    aggs = [
+        F.max(F.when(F.col("op") == "D", ord_s)).alias("__del"),
+        F.max(F.when(F.col("op") != "D", ord_s)).alias("__live"),
+    ]
+    for c in payload:
+        wrote = (F.col("op") != "D") & F.array_contains(
+            F.col(set_col), F.lit(c)
+        )
+        # order leads the struct so the max IS the latest write; the
+        # value rides along (same trick as lww_reduce, per column)
+        aggs.append(
+            F.max(
+                F.when(
+                    wrote, F.struct(ord_s.alias("o"), F.col(c).alias("v"))
+                )
+            ).alias(f"__w_{c}")
+        )
+    g = changes.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+    def visible(o):
+        return F.col("__del").isNull() | (o > F.col("__del"))
+
+    alive = g.filter(F.col("__live").isNotNull() & visible(F.col("__live")))
+    cells = [
+        F.when(
+            F.col(f"__w_{c}").isNotNull() & visible(F.col(f"__w_{c}")["o"]),
+            F.col(f"__w_{c}")["v"],
+        ).alias(c)
+        for c in payload
+    ]
+    return alive.select(
+        *keys, *cells, *[F.col("__live")[c].alias(c) for c in order]
+    )
+
+
 def lww_reduce_window(
     changes: DataFrame,
     keys: Sequence[str] = MERGE_KEYS,

@@ -757,6 +757,67 @@ def test_canal_multirow_batch_ddl_filter_and_unknown_type(spark):
     assert out[0]["ts"] == datetime.datetime(2026, 1, 1, 0, 0, 1)
 
 
+def test_dms_round_trip_exact(spark):
+    """insert/update/delete round-trip BIT-identically through the DMS
+    data/metadata envelope — the microsecond ISO-8601 Z timestamp and
+    the transaction-id-carried lsn both survive exactly."""
+    from kettle_jena_plugins_spark.sources.dms import parse_dms, to_dms_json
+
+    us = datetime.datetime(2026, 1, 1, 0, 0, 1, 123456)
+    ch = _changes(
+        spark,
+        [
+            ("I", 1, us, "c1", 0, "user", 'sa"y\n\\x', "t"),
+            ("U", 2, _ts(2), "c1", 0, "user", "v2", None),
+            ("D", 3, _ts(3), "c1", 0, "user", "gone", None),
+            # lsn beyond 2^53: transaction-id is a JSON number parsed as
+            # long — no double math anywhere in the trip
+            ("U", (1 << 60) + 7, _ts(4), "c2", 1, "bot", "far", None),
+        ],
+    )
+    back = parse_dms(to_dms_json(ch)).orderBy("lsn").collect()
+    orig = ch.orderBy("lsn").collect()
+    for b, o in zip(back, orig):
+        assert tuple(b) == tuple(o)
+
+
+def test_dms_control_records_load_op_and_table_filter(spark):
+    """record-type "control" (DDL notifications) → null op for the
+    dead-letter split (visible, never silently dropped); full-load
+    "load" records are inserts (the Debezium op-r analogue); other
+    tables on the task filter out; unknown operations → null op."""
+    from kettle_jena_plugins_spark.sources.dms import parse_dms
+
+    def env(op, rtype, table, lsn, conv="c1"):
+        return (
+            '{"data":{"conv_id":"%s","turn_idx":1,"role":"u","text":"x",'
+            '"tool":null},"metadata":{"timestamp":'
+            '"2026-01-01T00:00:01.000002Z","record-type":"%s",'
+            '"operation":"%s","partition-key-type":"schema-table",'
+            '"schema-name":"app","table-name":"%s",'
+            '"transaction-id":%d}}' % (conv, rtype, op, table, lsn)
+        )
+
+    raw = spark.createDataFrame(
+        [
+            (env("load", "data", "transcripts", 1),),
+            (env("insert", "data", "transcripts", 2),),
+            # control record: a create-table DDL notification
+            (env("create-table", "control", "transcripts", 3),),
+            # another table on the same task: filtered out
+            (env("insert", "data", "users", 4, conv="zz"),),
+            # unknown operation on a data record
+            (env("upsert", "data", "transcripts", 5),),
+        ],
+        "value string",
+    )
+    out = parse_dms(raw, table="transcripts").orderBy("lsn").collect()
+    assert [r["op"] for r in out] == ["I", "I", None, None]
+    assert [r["lsn"] for r in out] == [1, 2, 3, 5]
+    assert out[0]["conv_id"] == "c1" and out[0]["turn_idx"] == 1
+    assert out[0]["ts"] == datetime.datetime(2026, 1, 1, 0, 0, 1, 2)
+
+
 def test_cli_ingest_envelopes_any_dialect(spark, tmp_path, capsys):
     """`run ingest`: raw wire-format JSON lines → parse → exactly-once
     MERGE, end-to-end through the CLI. Batch 0 arrives as Canal flat
@@ -873,7 +934,7 @@ def test_malformed_envelopes_reach_dead_letter_not_dropped(spark):
     from kettle_jena_plugins_spark.sources.envelopes import parse_envelope
 
     garbage = '{"truncated": '
-    for dialect in ("maxwell", "wal2json", "canal"):
+    for dialect in ("maxwell", "wal2json", "canal", "dms"):
         raw = spark.createDataFrame([(garbage,)], "value string")
         out = parse_envelope(raw, dialect, table="transcripts").collect()
         assert len(out) == 1 and out[0]["op"] is None, dialect
@@ -912,7 +973,7 @@ def test_envelope_schema_evolution_all_dialects(spark):
         ],
         CHANGE_EVENT_SCHEMA_V2,
     )
-    for dialect in ("debezium", "maxwell", "wal2json", "canal"):
+    for dialect in ("debezium", "maxwell", "wal2json", "canal", "dms"):
         env = render_envelope(ch, dialect)
         back = (
             parse_envelope(env, dialect, payload_schema=ps)
