@@ -85,12 +85,13 @@ def lww_reduce_salted(
     return lww_reduce(phase1, keys=keys, order=order)
 
 
-def lww_state_partial(
+def lww_reduce_partial(
     changes: DataFrame,
     keys: Sequence[str] = MERGE_KEYS,
     order: Sequence[str] = LWW_ORDER,
     set_col: str = "set_cols",
     payload: Sequence[str] | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Column-level LWW for PARTIAL row images (sparse updates).
 
@@ -120,8 +121,19 @@ def lww_state_partial(
     ``max(struct(order, value))`` plus the tombstone/liveness maxes —
     so map-side partial aggregation applies to every cell column and
     only ~n_keys rows cross the wire, exactly like lww_reduce. No
-    window, no second shuffle, no Python. Output: keys, resolved cells,
-    and the order columns of the latest live event.
+    window, no second shuffle, no Python. ``salt_buckets`` adds the
+    same two-phase pre-reduction as lww_reduce_salted for hot-key skew
+    — valid here because every aggregate (tombstone, liveness, per-cell
+    winner) is an associative max over its own struct, so phase 1 on
+    (keys, salt) keeps per-cell orders intact and phase 2 just maxes
+    the already-reduced structs.
+
+    Output: ONE row per key — keys, ``op`` ('U' if the key is live, 'D'
+    if its latest action is a tombstone), the order columns of the
+    winning event, and the resolved cells (null for dead keys). The
+    tombstone rows are what lets the lake sink (merge_batch
+    partial_set_col) retain delete markers; ``lww_state_partial`` below
+    is the deletes-dropped final-state view.
     """
     if payload is None:
         payload = [
@@ -147,21 +159,66 @@ def lww_state_partial(
                 )
             ).alias(f"__w_{c}")
         )
-    g = changes.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    if salt_buckets:
+        salted = changes.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt_buckets)),
+        )
+        phase1 = salted.groupBy(*[F.col(k) for k in keys], F.col("__salt")).agg(
+            *aggs
+        )
+        g = phase1.groupBy(*[F.col(k) for k in keys]).agg(
+            F.max("__del").alias("__del"),
+            F.max("__live").alias("__live"),
+            *[F.max(f"__w_{c}").alias(f"__w_{c}") for c in payload],
+        )
+    else:
+        g = changes.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
     def visible(o):
         return F.col("__del").isNull() | (o > F.col("__del"))
 
-    alive = g.filter(F.col("__live").isNotNull() & visible(F.col("__live")))
+    live = F.col("__live").isNotNull() & visible(F.col("__live"))
     cells = [
         F.when(
-            F.col(f"__w_{c}").isNotNull() & visible(F.col(f"__w_{c}")["o"]),
+            live
+            & F.col(f"__w_{c}").isNotNull()
+            & visible(F.col(f"__w_{c}")["o"]),
             F.col(f"__w_{c}")["v"],
         ).alias(c)
         for c in payload
     ]
-    return alive.select(
-        *keys, *cells, *[F.col("__live")[c].alias(c) for c in order]
+    winner = F.when(live, F.col("__live")).otherwise(F.col("__del"))
+    return g.select(
+        *keys,
+        F.when(live, F.lit("U")).otherwise(F.lit("D")).alias("op"),
+        *[winner[c].alias(c) for c in order],
+        *cells,
+    )
+
+
+def lww_state_partial(
+    changes: DataFrame,
+    keys: Sequence[str] = MERGE_KEYS,
+    order: Sequence[str] = LWW_ORDER,
+    set_col: str = "set_cols",
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """Final table state implied by a PARTIAL-image change log: cell-level
+    LWW per key (see lww_reduce_partial), dead keys dropped. Output:
+    keys, resolved cells, and the order columns of the latest live
+    event — the partial-image analogue of lww_state."""
+    if payload is None:
+        payload = [
+            c
+            for c in changes.columns
+            if c not in (*keys, *order, "op", set_col)
+        ]
+    reduced = lww_reduce_partial(
+        changes, keys=keys, order=order, set_col=set_col, payload=payload
+    )
+    return reduced.filter(F.col("op") != "D").select(
+        *keys, *payload, *order
     )
 
 

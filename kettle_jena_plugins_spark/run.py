@@ -13,6 +13,8 @@ Commands:
            → parse (sources/envelopes.py) → validate/dead-letter →
            exactly-once MERGE — the whole-pipeline form of `apply` for
            streams that arrive as envelopes instead of parquet events
+           (--partial-images: wal2json sparse column images → the
+           cell-level merge, coalescing against committed rows)
   state    --table DIR [--limit N]                         show final state
   changes  --table DIR --from-version A --to-version B     net changelog read
            between two committed snapshots (incremental consumption);
@@ -133,6 +135,12 @@ def main(argv: list[str] | None = None) -> int:
                      "evolution: an evolved producer's added columns; "
                      "the lake ALTERs on first sight)")
     ing.add_argument("--salted", action="store_true")
+    ing.add_argument("--partial-images", action="store_true",
+                     help="treat updates as PARTIAL row images: the "
+                     "envelope's column list becomes the set-columns mask "
+                     "and the merge coalesces cells against the committed "
+                     "row (wal2json only — its column array is naturally "
+                     "sparse without REPLICA IDENTITY FULL)")
     ing.add_argument("--mode", choices=("cow", "mor", "auto"), default="auto",
                      help="auto = the mode recorded in the table's manifest")
 
@@ -294,12 +302,29 @@ def main(argv: list[str] | None = None) -> int:
             if args.payload_cols
             else None
         )
-        events = parse_envelope(
-            raw, args.dialect, table=args.source_table, payload_schema=ps
-        )
-        cfg = CDCConfig(
-            salted=args.salted, dead_letter_dir=args.dead_letter
-        )
+        if args.partial_images:
+            if args.dialect != "wal2json":
+                ap.error("--partial-images requires --dialect wal2json "
+                         "(the only dialect whose wire format is "
+                         "naturally sparse)")
+            from .sources.wal2json import parse_wal2json
+
+            events = parse_wal2json(
+                raw, table=args.source_table, payload_schema=ps,
+                set_cols_col="set_cols",
+            )
+            cfg = CDCConfig(
+                salted=args.salted, dead_letter_dir=args.dead_letter,
+                partial_set_col="set_cols",
+            )
+        else:
+            events = parse_envelope(
+                raw, args.dialect, table=args.source_table,
+                payload_schema=ps,
+            )
+            cfg = CDCConfig(
+                salted=args.salted, dead_letter_dir=args.dead_letter
+            )
         res = apply_batch(tgt, events, args.batch_id, cfg)
         print(json.dumps(res.__dict__, default=str))
     elif args.cmd == "state":

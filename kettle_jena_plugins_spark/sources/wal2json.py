@@ -112,6 +112,7 @@ def parse_wal2json(
     value_col: str = "value",
     table: str | None = None,
     payload_schema: T.StructType | None = None,
+    set_cols_col: str | None = None,
 ) -> DataFrame:
     """wal2json v2 envelope strings → canonical change events.
 
@@ -127,6 +128,14 @@ def parse_wal2json(
       mid-stream schema evolution; the column-array image is already
       positional-free, so an extended schema just adds projections +
       casts — the envelope schema itself never changes.
+    - ``set_cols_col``: also emit the envelope's column NAMES as an
+      array under this name — wal2json's column array is naturally
+      sparse without REPLICA IDENTITY FULL (TOASTed/unchanged columns
+      are omitted), and the name list is exactly the set-columns mask
+      the cell-level merge consumes (operators/lww.py
+      lww_reduce_partial; CDCConfig.partial_set_col). Key/order names
+      in the list are harmless — the cell reduce only consults it for
+      payload columns.
     """
     out = raw.filter(F.col(value_col).isNotNull()).select(
         F.from_json(F.col(value_col), WAL2JSON_VALUE_SCHEMA).alias("_env")
@@ -159,6 +168,11 @@ def parse_wal2json(
         F.regexp_replace(p["timestamp"], r"\+00(:00)?$", ""), _TS_FMT
     )
     rs = payload_schema or _DEFAULT_ROW
+    extra = (
+        [F.transform(entries, lambda c: c["name"]).alias(set_cols_col)]
+        if set_cols_col is not None
+        else []
+    )
     return out.select(
         op_col.alias("op"),
         _lsn_to_long(p["lsn"]).alias("lsn"),
@@ -167,6 +181,7 @@ def parse_wal2json(
             row[f.name].cast(f.dataType).alias(f.name)
             for f in rs.fields
         ],
+        *extra,
     )
 
 

@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..functions.textnorm import normalize_text
 from ..model import CHANGE_EVENT_SCHEMA, MERGE_KEYS
@@ -60,6 +61,14 @@ class CDCConfig:
     # reference's per-row WARN log (ActionIfNull.java:25-28). Default off:
     # costs one extra scan of the batch.
     warn_null_cols: tuple[str, ...] = ()
+    # the batch's events carry PARTIAL row images: the named array column
+    # lists the payload columns each event wrote (wal2json column arrays,
+    # Mongo $set patches). Routes the sink through its cell-level merge
+    # (ParquetLakeTarget.merge_batch partial_set_col) — requires a sink
+    # that handles raw events; incompatible with pre_reduce (a whole-row
+    # pre-reduce would lose per-cell write orders). `salted` composes:
+    # the cell reduce has its own two-phase salted form.
+    partial_set_col: str | None = None
     # input-side parallelism floor. WAL segments arrive as few large files
     # (binlog shipping), so the scan often yields far fewer partitions than
     # the cluster has cores — the narrow phase (validate → pandas-UDF
@@ -88,6 +97,18 @@ def apply_batch(
     `stream_id` scopes the idempotence gate to one checkpoint lineage (see
     ParquetLakeTarget.merge_batch)."""
     cfg = cfg or CDCConfig()
+    if cfg.partial_set_col is not None:
+        if cfg.pre_reduce:
+            raise ValueError(
+                "partial_set_col requires the raw sink-side cell merge: "
+                "a pre_reduce whole-row reduction would lose per-cell "
+                "write orders"
+            )
+        if not getattr(target, "handles_raw_events", False):
+            raise ValueError(
+                "partial_set_col needs a sink with a cell-level merge "
+                "(ParquetLakeTarget); this target pre-reduces whole rows"
+            )
 
     # 0. input-parallelism floor (see CDCConfig.input_partitions)
     if cfg.input_partitions is not None:
@@ -137,7 +158,15 @@ def apply_batch(
 
     # 3. schema evolution: ALTER before the merge plan is analyzed
     if cfg.evolve:
-        new_schema = evolved_schema(target.schema(), ok.schema)
+        batch_schema = ok.schema
+        if cfg.partial_set_col is not None:
+            # the set-columns mask is envelope metadata, not payload —
+            # it must never be ALTERed into the target
+            batch_schema = StructType(
+                [f for f in batch_schema.fields
+                 if f.name != cfg.partial_set_col]
+            )
+        new_schema = evolved_schema(target.schema(), batch_schema)
         if new_schema is not None:
             target.evolve_schema(new_schema)
     # align batch to the (possibly evolved) target payload set: missing
@@ -149,6 +178,9 @@ def apply_batch(
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    if cfg.partial_set_col is not None:
+        # the set-columns mask must survive the target-schema projection
+        cols.append(F.col(cfg.partial_set_col))
     ok = ok.select(*cols)
 
     # 3.4 WARN-null accounting (see CDCConfig.warn_null_cols)
@@ -218,6 +250,8 @@ def apply_batch(
                 _normalize if (cfg.normalize or cfg.redact) else None
             ),
         }
+        if cfg.partial_set_col is not None:
+            sink_kwargs["partial_set_col"] = cfg.partial_set_col
     res = target.merge_batch(reduced, batch_id, stream_id=stream_id, **sink_kwargs)
     res.extra["dead_letter_rows"] = n_dead
     res.extra["late_keys"] = res.late_events

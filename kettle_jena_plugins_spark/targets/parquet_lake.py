@@ -450,6 +450,7 @@ class ParquetLakeTarget:
         salted: bool = False,
         salt_buckets: int = 16,
         transform_reduced=None,
+        partial_set_col: str | None = None,
     ) -> MergeResult:
         """Apply one micro-batch of change events (raw or pre-reduced).
 
@@ -458,6 +459,24 @@ class ParquetLakeTarget:
         per checkpoint; a new lineage (lost checkpoint) restarts at 0, so the
         gate is scoped by stream_id — a new lineage re-applies its batches and
         the (ts, lsn) LWW guard makes that replay convergent, not corrupting.
+
+        ``partial_set_col``: the batch's events carry PARTIAL row images —
+        the named array column lists the payload columns each event wrote
+        (operators/lww.py lww_reduce_partial's contract). The merge then
+        coalesces cells against the current table state: existing rows enter
+        the reduce as full-image writes at their committed (ts, lsn), so a
+        sparse update inherits every untouched cell. Consequences, by design:
+        - there is no no-read fast path — partial images NEED the old row,
+          so even MOR tables take the read-union-rewrite route here (the
+          rewrite doubles as a compaction of the affected buckets);
+        - cell resolution is exact within a batch; ACROSS batches a late
+          cell write resolves against the row's committed version at ROW
+          granularity (the lake stores row versions, not per-cell versions —
+          the Cassandra alternative would double storage), and such events
+          are flagged in late_events;
+        - ``salted`` composes: the cell reduce's two-phase form pre-reduces
+          per (keys, salt) with the same per-cell struct maxes (associative),
+          so hot-conversation skew is defused without losing cell orders.
         """
         m = self.manifest()
         if stream_id == m.get("stream_id") and batch_id <= m["batch_id"]:
@@ -468,7 +487,7 @@ class ParquetLakeTarget:
         payload_cols = [f.name for f in cur_schema.fields if f.name not in MERGE_KEYS]
 
         wm = {k: int(v) for k, v in m.get("watermarks", {}).items()}
-        if self.mode == "mor":
+        if self.mode == "mor" and partial_set_col is None:
             # single-Spark-job fast path: metrics ride the write via observe,
             # per-bucket watermarks come from parquet footers
             return self._merge_mor(
@@ -511,7 +530,17 @@ class ParquetLakeTarget:
         affected = sorted(int(r["_b"]) for r in stats)
         events_in = int(sum(r["n"] for r in stats))
 
+        cell_cols = [c for c in payload_cols if c != "ts"]
+
         def reduce_events(ev: DataFrame) -> DataFrame:
+            if partial_set_col is not None:
+                from ..operators.lww import lww_reduce_partial
+
+                return lww_reduce_partial(
+                    ev, keys=MERGE_KEYS, order=LWW_ORDER,
+                    set_col=partial_set_col, payload=cell_cols,
+                    salt_buckets=salt_buckets if salted else None,
+                )
             return (
                 lww_reduce_salted(
                     ev, keys=MERGE_KEYS, order=LWW_ORDER, salt_buckets=salt_buckets
@@ -520,9 +549,9 @@ class ParquetLakeTarget:
                 else lww_reduce(ev, keys=MERGE_KEYS, order=LWW_ORDER)
             )
 
-        ev_cols = ["op", "lsn", "ts", *MERGE_KEYS] + [
-            c for c in payload_cols if c != "ts"
-        ]
+        ev_cols = ["op", "lsn", "ts", *MERGE_KEYS, *cell_cols]
+        if partial_set_col is not None:
+            ev_cols.append(partial_set_col)
         batch_events = batch.drop("_b").select(*ev_cols)
 
         n_compacted = 0
@@ -535,8 +564,15 @@ class ParquetLakeTarget:
             F.col("_lsn").alias("lsn"),
             F.col("ts"),
             *MERGE_KEYS,
-            *[F.col(c) for c in payload_cols if c != "ts"],
+            *[F.col(c) for c in cell_cols],
         )
+        if partial_set_col is not None:
+            # committed rows are RESOLVED states: they enter the cell
+            # reduce as full-image writes at their committed (ts, lsn)
+            # (tombstones' set list is never consulted for op='D')
+            as_events = as_events.withColumn(
+                partial_set_col, F.array(*[F.lit(c) for c in cell_cols])
+            )
         merged = reduce_events(as_events.unionByName(batch_events))
         if transform_reduced is not None:
             # post-reduce payload transform (e.g. normalization): runs on one

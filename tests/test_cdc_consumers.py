@@ -883,7 +883,7 @@ def test_parse_envelope_dispatch_errors(spark):
 
     raw = spark.createDataFrame([("{}",)], "value string")
     with pytest.raises(ValueError, match="unknown dialect"):
-        parse_envelope(raw, "dms")
+        parse_envelope(raw, "og2log")
     with pytest.raises(ValueError, match="topic-per-table"):
         parse_envelope(raw, "debezium", table="transcripts")
 
