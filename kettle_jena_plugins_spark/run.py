@@ -106,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--payload-cols", default=None,
                    help="extra row columns as 'name:type,...' (schema "
                    "evolution through the envelope stream)")
+    s.add_argument("--partial-images", action="store_true",
+                   help="treat updates as PARTIAL row images (wal2json "
+                   "only): the column array becomes the set-columns mask "
+                   "and each micro-batch takes the cell-level merge")
     s.add_argument("--mode", choices=("cow", "mor", "auto"), default="auto",
                    help="auto = the mode recorded in the table's manifest")
 
@@ -263,8 +267,13 @@ def main(argv: list[str] | None = None) -> int:
                 "--source-table/--payload-cols require --dialect "
                 "(they only apply to envelope input)"
             )
+        if args.partial_images and args.dialect != "wal2json":
+            ap.error("--partial-images requires --dialect wal2json")
         tgt = ParquetLakeTarget(spark, args.table, mode=mode)
-        cfg = CDCConfig(salted=args.salted, metrics_path=args.metrics)
+        cfg = CDCConfig(
+            salted=args.salted, metrics_path=args.metrics,
+            partial_set_col="set_cols" if args.partial_images else None,
+        )
         t0 = time.time()
         from .sources.envelopes import extended_payload_schema
 

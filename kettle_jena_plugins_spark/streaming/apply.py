@@ -308,19 +308,37 @@ def run_stream(
     identical to the parquet WAL form."""
     cfg = cfg or CDCConfig()
     if envelope_dialect is not None:
-        from ..sources.envelopes import parse_envelope
-
         reader = spark.readStream
         if max_files_per_trigger:
             reader = reader.option(
                 "maxFilesPerTrigger", max_files_per_trigger
             )
-        stream = parse_envelope(
-            reader.text(events_dir),
-            envelope_dialect,
-            table=source_table,
-            payload_schema=envelope_payload_schema,
-        )
+        if cfg.partial_set_col is not None:
+            # partial row images need the set-columns mask from the wire:
+            # only wal2json's column-array format carries one naturally
+            if envelope_dialect != "wal2json":
+                raise ValueError(
+                    "partial_set_col streaming requires "
+                    "envelope_dialect='wal2json' (the only dialect whose "
+                    "wire format is naturally sparse)"
+                )
+            from ..sources.wal2json import parse_wal2json
+
+            stream = parse_wal2json(
+                reader.text(events_dir),
+                table=source_table,
+                payload_schema=envelope_payload_schema,
+                set_cols_col=cfg.partial_set_col,
+            )
+        else:
+            from ..sources.envelopes import parse_envelope
+
+            stream = parse_envelope(
+                reader.text(events_dir),
+                envelope_dialect,
+                table=source_table,
+                payload_schema=envelope_payload_schema,
+            )
     else:
         reader = spark.readStream.schema(schema)
         if max_files_per_trigger:

@@ -205,6 +205,55 @@ def test_wal2json_sparse_columns_to_cell_merge(spark, target):
     assert state(target) == {("c1", 0): ("user", "edited", "calc")}
 
 
+def test_streaming_partial_ingest_with_resume(spark, tmp_path):
+    """run_stream over sparse wal2json drop files: drain, land another
+    sparse file, resume from the checkpoint — cells coalesce across
+    micro-batches and restarts; non-wal2json dialects are rejected."""
+    from kettle_jena_plugins_spark.streaming.apply import run_stream
+
+    full = (
+        '{"action":"I","schema":"public","table":"transcripts","columns":['
+        '{"name":"conv_id","type":"text","value":"c1"},'
+        '{"name":"turn_idx","type":"integer","value":0},'
+        '{"name":"role","type":"text","value":"user"},'
+        '{"name":"text","type":"text","value":"hello"},'
+        '{"name":"tool","type":"text","value":"calc"}],'
+        '"lsn":"0/10","timestamp":"2026-01-01 00:00:01.000000+00"}'
+    )
+    sparse1 = (
+        '{"action":"U","schema":"public","table":"transcripts","columns":['
+        '{"name":"conv_id","type":"text","value":"c1"},'
+        '{"name":"turn_idx","type":"integer","value":0},'
+        '{"name":"text","type":"text","value":"edited"}],'
+        '"lsn":"0/20","timestamp":"2026-01-01 00:00:02.000000+00"}'
+    )
+    sparse2 = (
+        '{"action":"U","schema":"public","table":"transcripts","columns":['
+        '{"name":"conv_id","type":"text","value":"c1"},'
+        '{"name":"turn_idx","type":"integer","value":0},'
+        '{"name":"role","type":"text","value":"human"}],'
+        '"lsn":"0/30","timestamp":"2026-01-01 00:00:03.000000+00"}'
+    )
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    (wal / "seg0.jsonl").write_text(full + "\n" + sparse1 + "\n")
+    tbl = ParquetLakeTarget(spark, str(tmp_path / "tbl"), n_buckets=2)
+    tbl.create()
+    ckpt = str(tmp_path / "ckpt")
+    run_stream(spark, str(wal), tbl, ckpt, cfg=CFG,
+               envelope_dialect="wal2json", source_table="transcripts")
+    assert state(tbl) == {("c1", 0): ("user", "edited", "calc")}
+    # land a new segment; resume from the same checkpoint
+    (wal / "seg1.jsonl").write_text(sparse2 + "\n")
+    run_stream(spark, str(wal), tbl, ckpt, cfg=CFG,
+               envelope_dialect="wal2json", source_table="transcripts")
+    assert state(tbl) == {("c1", 0): ("human", "edited", "calc")}
+    with pytest.raises(ValueError, match="wal2json"):
+        run_stream(spark, str(wal), tbl, str(tmp_path / "ck2"), cfg=CFG,
+                   envelope_dialect="maxwell")
+    tbl.drop()
+
+
 def test_cli_ingest_partial_images(spark, tmp_path, capsys):
     """`run ingest --partial-images`: sparse wal2json lines through the
     CLI front door land as cell-coalesced rows; the flag is rejected for
