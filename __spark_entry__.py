@@ -386,19 +386,11 @@ def q_cdc_dms_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cdc_lww_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-level LWW over PARTIAL row images (operators/lww.py
-    lww_state_partial): sparse U events write only the columns their lsn
-    selects (role iff lsn%2=0, text iff lsn%3>0, tool iff lsn%5<3 — a
-    deterministic stand-in for Mongo $set / Cassandra cell writes /
-    wal2json without REPLICA IDENTITY FULL), I writes all cells, D is a
-    row tombstone shadowing older cells. One hash aggregation resolves
-    every cell and the tombstone in a single shuffle. The oracle
-    replays the identical cell semantics with filtered struct-max
-    aggregates in DuckDB."""
-    from kettle_jena_plugins_spark.operators.lww import lww_state_partial
-
-    ch = change_events(spark, sf_dir)
+def _sparse_events(ch: DataFrame) -> DataFrame:
+    """Deterministic PARTIAL-image fixture: sparse U events write only
+    the columns their lsn selects (role iff lsn%2=0, text iff lsn%3>0,
+    tool iff lsn%5<3), I writes all cells, D none — mirrored verbatim in
+    the cdc_lww_partial / cdc_mongo_parse oracles."""
     is_i = F.col("op") == "I"
     is_u = F.col("op") == "U"
     role_set = is_i | (is_u & (F.col("lsn") % 2 == 0))
@@ -410,7 +402,7 @@ def q_cdc_lww_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array().cast("array<string>")
         )
 
-    sparse = ch.select(
+    return ch.select(
         "op",
         "lsn",
         "ts",
@@ -423,7 +415,20 @@ def q_cdc_lww_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
             _tag(role_set, "role"), _tag(text_set, "text"), _tag(tool_set, "tool")
         ).alias("set_cols"),
     )
-    st = lww_state_partial(sparse)
+
+
+def q_cdc_lww_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level LWW over PARTIAL row images (operators/lww.py
+    lww_state_partial): sparse U events write only the columns their lsn
+    selects (see _sparse_events — a deterministic stand-in for Mongo
+    $set / Cassandra cell writes / wal2json without REPLICA IDENTITY
+    FULL), I writes all cells, D is a row tombstone shadowing older
+    cells. One hash aggregation resolves every cell and the tombstone in
+    a single shuffle. The oracle replays the identical cell semantics
+    with filtered struct-max aggregates in DuckDB."""
+    from kettle_jena_plugins_spark.operators.lww import lww_state_partial
+
+    st = lww_state_partial(_sparse_events(change_events(spark, sf_dir)))
     return st.select(
         "conv_id",
         "turn_idx",
@@ -431,6 +436,37 @@ def q_cdc_lww_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "tool",
         F.col("lsn").alias("last_lsn"),
+    )
+
+
+def q_cdc_mongo_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth wire-format round trip (MongoDB oplog, the document-store
+    envelope — and the engine's native PARTIAL-image source): derive the
+    sparse fixture (_sparse_events), render it as oplog JSON (sparse U
+    events become $set patches with $unset for explicit null writes, I
+    full documents, D key documents; BSON-Timestamp (t, i) carries the
+    order), parse it back (sources/mongo.py — the set-columns mask is
+    recovered from the operators) and resolve through the CELL-level LWW
+    (lww_state_partial). The oplog ts is SECOND-granularity, so the
+    oracle replays the cell semantics with second-coarsened struct
+    orders — the (t, i) composite carries intra-second oplog order, and
+    pmod(lsn, 2³²) recovers the original lsn."""
+    from kettle_jena_plugins_spark.operators.lww import lww_state_partial
+    from kettle_jena_plugins_spark.sources.mongo import (
+        parse_mongo_oplog,
+        to_mongo_oplog,
+    )
+
+    sparse = _sparse_events(change_events(spark, sf_dir))
+    parsed = parse_mongo_oplog(to_mongo_oplog(sparse), table="transcripts")
+    st = lww_state_partial(parsed)
+    return st.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.pmod(F.col("lsn"), F.lit(1 << 32)).alias("last_lsn"),
     )
 
 
@@ -1816,6 +1852,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_canal_parse": q_cdc_canal_parse,
     "cdc_dms_parse": q_cdc_dms_parse,
     "cdc_lww_partial": q_cdc_lww_partial,
+    "cdc_mongo_parse": q_cdc_mongo_parse,
     "cdc_lww_state_window": q_cdc_lww_state_window,
     "cdc_final_op_counts": q_cdc_final_op_counts,
     "cdc_lag_metrics": q_cdc_lag_metrics,
@@ -3436,6 +3473,48 @@ a AS (
                                 v := text) END) AS w_text,
            max(CASE WHEN op<>'D' AND tool_set
                THEN struct_pack(o := struct_pack(ts := ts, lsn := lsn),
+                                v := tool) END) AS w_tool
+    FROM p GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN w_role IS NOT NULL AND (del_o IS NULL OR w_role.o > del_o)
+            THEN w_role.v END AS role,
+       CASE WHEN w_text IS NOT NULL AND (del_o IS NULL OR w_text.o > del_o)
+            THEN w_text.v END AS text,
+       CASE WHEN w_tool IS NOT NULL AND (del_o IS NULL OR w_tool.o > del_o)
+            THEN w_tool.v END AS tool,
+       live_o.lsn AS last_lsn
+FROM a
+WHERE live_o IS NOT NULL AND (del_o IS NULL OR live_o > del_o)
+""",
+    # cdc_mongo_parse: the oplog coarsens ts to SECONDS (BSON-Timestamp t)
+    # with the ordinal i — i.e. the original lsn — carrying intra-second
+    # order, so the cell-LWW oracle ranks every struct by (second-ts, lsn);
+    # otherwise identical to the cdc_lww_partial oracle.
+    "cdc_mongo_parse": f"""
+WITH {CHANGES_ORACLE_CTE},
+p AS (
+    SELECT conv_id, turn_idx, op, lsn, role, text, tool,
+           CAST(floor(epoch(ts)) AS BIGINT) AS cts,
+           (op='I' OR (op='U' AND lsn%2=0)) AS role_set,
+           (op='I' OR (op='U' AND lsn%3>0)) AS text_set,
+           (op='I' OR (op='U' AND lsn%5<3)) AS tool_set
+    FROM changes
+),
+a AS (
+    SELECT conv_id, turn_idx,
+           max(CASE WHEN op='D'
+               THEN struct_pack(cts := cts, lsn := lsn) END) AS del_o,
+           max(CASE WHEN op<>'D'
+               THEN struct_pack(cts := cts, lsn := lsn) END) AS live_o,
+           max(CASE WHEN op<>'D' AND role_set
+               THEN struct_pack(o := struct_pack(cts := cts, lsn := lsn),
+                                v := role) END) AS w_role,
+           max(CASE WHEN op<>'D' AND text_set
+               THEN struct_pack(o := struct_pack(cts := cts, lsn := lsn),
+                                v := text) END) AS w_text,
+           max(CASE WHEN op<>'D' AND tool_set
+               THEN struct_pack(o := struct_pack(cts := cts, lsn := lsn),
                                 v := tool) END) AS w_tool
     FROM p GROUP BY 1, 2
 )

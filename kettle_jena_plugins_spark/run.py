@@ -9,12 +9,13 @@ Commands:
            checkpoint/resume semantics identical)
   apply    --events PATH --table DIR --batch-id N          one batch
   ingest   --envelopes PATH --dialect D --table DIR --batch-id N
-           raw wire-format JSON lines (canal|debezium|dms|maxwell|wal2json)
+           raw wire-format JSON lines (canal|debezium|dms|maxwell|mongo|wal2json)
            → parse (sources/envelopes.py) → validate/dead-letter →
            exactly-once MERGE — the whole-pipeline form of `apply` for
            streams that arrive as envelopes instead of parquet events
            (--partial-images: wal2json sparse column images → the
-           cell-level merge, coalescing against committed rows)
+           cell-level merge, coalescing against committed rows;
+           mongo $set/$unset patches force it automatically)
   state    --table DIR [--limit N]                         show final state
   changes  --table DIR --from-version A --to-version B     net changelog read
            between two committed snapshots (incremental consumption);
@@ -107,9 +108,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="extra row columns as 'name:type,...' (schema "
                    "evolution through the envelope stream)")
     s.add_argument("--partial-images", action="store_true",
-                   help="treat updates as PARTIAL row images (wal2json "
-                   "only): the column array becomes the set-columns mask "
-                   "and each micro-batch takes the cell-level merge")
+                   help="treat updates as PARTIAL row images (wal2json; "
+                   "automatic for mongo): the wire's column list becomes "
+                   "the set-columns mask and each micro-batch takes the "
+                   "cell-level merge")
     s.add_argument("--mode", choices=("cow", "mor", "auto"), default="auto",
                    help="auto = the mode recorded in the table's manifest")
 
@@ -143,8 +145,8 @@ def main(argv: list[str] | None = None) -> int:
                      help="treat updates as PARTIAL row images: the "
                      "envelope's column list becomes the set-columns mask "
                      "and the merge coalesces cells against the committed "
-                     "row (wal2json only — its column array is naturally "
-                     "sparse without REPLICA IDENTITY FULL)")
+                     "row (wal2json — its column array is naturally sparse "
+                     "without REPLICA IDENTITY FULL; automatic for mongo)")
     ing.add_argument("--mode", choices=("cow", "mor", "auto"), default="auto",
                      help="auto = the mode recorded in the table's manifest")
 
@@ -267,12 +269,20 @@ def main(argv: list[str] | None = None) -> int:
                 "--source-table/--payload-cols require --dialect "
                 "(they only apply to envelope input)"
             )
-        if args.partial_images and args.dialect != "wal2json":
-            ap.error("--partial-images requires --dialect wal2json")
+        from .sources.envelopes import PARTIAL_DIALECTS
+
+        stream_partial = (
+            args.partial_images or args.dialect in PARTIAL_DIALECTS
+        )
+        if args.partial_images and args.dialect not in (
+            "wal2json", *PARTIAL_DIALECTS
+        ):
+            ap.error("--partial-images requires a sparse-capable dialect "
+                     f"(wal2json, {', '.join(PARTIAL_DIALECTS)})")
         tgt = ParquetLakeTarget(spark, args.table, mode=mode)
         cfg = CDCConfig(
             salted=args.salted, metrics_path=args.metrics,
-            partial_set_col="set_cols" if args.partial_images else None,
+            partial_set_col="set_cols" if stream_partial else None,
         )
         t0 = time.time()
         from .sources.envelopes import extended_payload_schema
@@ -311,17 +321,30 @@ def main(argv: list[str] | None = None) -> int:
             if args.payload_cols
             else None
         )
-        if args.partial_images:
-            if args.dialect != "wal2json":
-                ap.error("--partial-images requires --dialect wal2json "
-                         "(the only dialect whose wire format is "
-                         "naturally sparse)")
-            from .sources.wal2json import parse_wal2json
+        from .sources.envelopes import PARTIAL_DIALECTS
 
-            events = parse_wal2json(
-                raw, table=args.source_table, payload_schema=ps,
-                set_cols_col="set_cols",
-            )
+        # mongo's wire format is inherently sparse: the cell-level merge
+        # is forced, --partial-images or not (whole-row LWW over $set
+        # patches would null untouched cells)
+        partial = args.partial_images or args.dialect in PARTIAL_DIALECTS
+        if args.partial_images and args.dialect not in (
+            "wal2json", *PARTIAL_DIALECTS
+        ):
+            ap.error("--partial-images requires a sparse-capable dialect "
+                     f"(wal2json, {', '.join(PARTIAL_DIALECTS)})")
+        if partial:
+            if args.dialect == "wal2json":
+                from .sources.wal2json import parse_wal2json
+
+                events = parse_wal2json(
+                    raw, table=args.source_table, payload_schema=ps,
+                    set_cols_col="set_cols",
+                )
+            else:  # mongo — the parser always emits the mask
+                events = parse_envelope(
+                    raw, args.dialect, table=args.source_table,
+                    payload_schema=ps,
+                )
             cfg = CDCConfig(
                 salted=args.salted, dead_letter_dir=args.dead_letter,
                 partial_set_col="set_cols",

@@ -1,8 +1,8 @@
 """One front door for every supported CDC wire dialect.
 
-The five envelope parsers (sources/debezium.py, sources/maxwell.py,
-sources/wal2json.py, sources/canal.py, sources/dms.py) all produce the
-same canonical
+The six envelope parsers (sources/debezium.py, sources/maxwell.py,
+sources/wal2json.py, sources/canal.py, sources/dms.py,
+sources/mongo.py) all produce the same canonical
 change-event schema (model.CHANGE_EVENT_SCHEMA), so the rest of the
 engine — validation split, LWW reduce, schema evolution, exactly-once
 MERGE (streaming/apply.py) — is dialect-agnostic. ``parse_envelope``
@@ -31,6 +31,7 @@ from .canal import parse_canal, to_canal_json
 from .debezium import parse_debezium, to_debezium_json
 from .dms import parse_dms, to_dms_json
 from .maxwell import parse_maxwell, to_maxwell_json
+from .mongo import parse_mongo_oplog, to_mongo_oplog
 from .wal2json import parse_wal2json, to_wal2json
 
 #: dialect name → (parser, supports in-stream table filtering)
@@ -38,9 +39,16 @@ _DIALECTS = {
     "debezium": (parse_debezium, False),
     "dms": (parse_dms, True),
     "maxwell": (parse_maxwell, True),
+    "mongo": (parse_mongo_oplog, True),
     "wal2json": (parse_wal2json, True),
     "canal": (parse_canal, True),
 }
+
+#: dialects whose wire format is inherently SPARSE: their parsers emit
+#: the set-columns mask and consumers must apply through the cell-level
+#: merge (CDCConfig.partial_set_col) — whole-row LWW would null
+#: untouched cells. wal2json is OPTIONALLY sparse (set_cols_col opt-in).
+PARTIAL_DIALECTS = ("mongo",)
 
 DIALECTS = tuple(sorted(_DIALECTS))
 
@@ -138,6 +146,7 @@ _RENDERERS = {
     "debezium": to_debezium_json,
     "dms": to_dms_json,
     "maxwell": to_maxwell_json,
+    "mongo": to_mongo_oplog,
     "wal2json": to_wal2json,
 }
 

@@ -313,23 +313,42 @@ def run_stream(
             reader = reader.option(
                 "maxFilesPerTrigger", max_files_per_trigger
             )
-        if cfg.partial_set_col is not None:
-            # partial row images need the set-columns mask from the wire:
-            # only wal2json's column-array format carries one naturally
-            if envelope_dialect != "wal2json":
-                raise ValueError(
-                    "partial_set_col streaming requires "
-                    "envelope_dialect='wal2json' (the only dialect whose "
-                    "wire format is naturally sparse)"
-                )
-            from ..sources.wal2json import parse_wal2json
+        from ..sources.envelopes import PARTIAL_DIALECTS
 
-            stream = parse_wal2json(
-                reader.text(events_dir),
-                table=source_table,
-                payload_schema=envelope_payload_schema,
-                set_cols_col=cfg.partial_set_col,
+        if (
+            envelope_dialect in PARTIAL_DIALECTS
+            and cfg.partial_set_col is None
+        ):
+            raise ValueError(
+                f"dialect {envelope_dialect!r} emits sparse row images "
+                "(a set-columns mask): set CDCConfig.partial_set_col — "
+                "whole-row LWW would null untouched cells"
             )
+        if cfg.partial_set_col is not None:
+            # partial row images need the set-columns mask from the wire
+            if envelope_dialect == "wal2json":
+                from ..sources.wal2json import parse_wal2json
+
+                stream = parse_wal2json(
+                    reader.text(events_dir),
+                    table=source_table,
+                    payload_schema=envelope_payload_schema,
+                    set_cols_col=cfg.partial_set_col,
+                )
+            elif envelope_dialect == "mongo":
+                from ..sources.mongo import parse_mongo_oplog
+
+                stream = parse_mongo_oplog(
+                    reader.text(events_dir),
+                    table=source_table,
+                    payload_schema=envelope_payload_schema,
+                    set_cols_col=cfg.partial_set_col,
+                )
+            else:
+                raise ValueError(
+                    "partial_set_col streaming requires a sparse-capable "
+                    "dialect (wal2json, mongo)"
+                )
         else:
             from ..sources.envelopes import parse_envelope
 

@@ -818,6 +818,100 @@ def test_dms_control_records_load_op_and_table_filter(spark):
     assert out[0]["ts"] == datetime.datetime(2026, 1, 1, 0, 0, 1, 2)
 
 
+def test_mongo_oplog_patch_semantics_and_filters(spark):
+    """$set/$unset patches parse with the set-columns mask; a
+    replacement-document update (no operators) is a full image; n/c ops
+    (noop, command — the DDL analogue) → null op for the dead-letter
+    split; other collections on the oplog filter out."""
+    from kettle_jena_plugins_spark.sources.mongo import parse_mongo_oplog
+
+    def entry(op, o, lsn, ns="app.transcripts", o2=None):
+        base = ('{"ts":{"$timestamp":{"t":1767225601,"i":%d}},'
+                '"op":"%s","ns":"%s","o":%s' % (lsn, op, ns, o))
+        if o2:
+            base += ',"o2":%s' % o2
+        return base + "}"
+
+    keys = '{"conv_id":"c1","turn_idx":0}'
+    raw = spark.createDataFrame(
+        [
+            (entry("i", '{"conv_id":"c1","turn_idx":0,"role":"user",'
+                        '"text":"hi","tool":"calc"}', 1),),
+            # sparse patch: set text, unset tool
+            (entry("u", '{"$set":{"text":"edited"},"$unset":{"tool":true}}',
+                   2, o2=keys),),
+            # replacement update: full image, no operators
+            (entry("u", '{"conv_id":"c1","turn_idx":0,"role":"bot",'
+                        '"text":"replaced"}', 3, o2=keys),),
+            (entry("n", '{"msg":"periodic noop"}', 4),),
+            (entry("c", '{"create":"transcripts"}', 5),),
+            # another collection on the same oplog
+            (entry("i", '{"conv_id":"zz","turn_idx":9}', 6,
+                   ns="app.users"),),
+            (entry("d", keys, 7),),
+        ],
+        "value string",
+    )
+    out = parse_mongo_oplog(raw, table="transcripts").orderBy("lsn").collect()
+    assert [r["op"] for r in out] == ["I", "U", "U", None, None, "D"]
+    assert [r["lsn"] % (1 << 32) for r in out] == [1, 2, 3, 4, 5, 7]
+    patch = out[1]
+    assert patch["set_cols"] == ["text", "tool"]
+    assert patch["text"] == "edited" and patch["tool"] is None
+    assert patch["conv_id"] == "c1" and patch["turn_idx"] == 0
+    repl = out[2]
+    assert repl["set_cols"] == ["role", "text", "tool"]
+    assert (repl["role"], repl["text"], repl["tool"]) == ("bot", "replaced", None)
+
+
+def test_mongo_ingest_forces_cell_merge(spark, tmp_path, capsys):
+    """CLI ingest --dialect mongo auto-enables the cell-level merge (the
+    oplog is inherently sparse — whole-row LWW would null untouched
+    cells); streaming without partial_set_col is rejected."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from kettle_jena_plugins_spark.run import main
+    from kettle_jena_plugins_spark.streaming.apply import (
+        CDCConfig,
+        run_stream,
+    )
+    from kettle_jena_plugins_spark.targets.parquet_lake import (
+        ParquetLakeTarget,
+    )
+
+    ins = ('{"ts":{"$timestamp":{"t":1767225601,"i":1}},"op":"i",'
+           '"ns":"app.transcripts","o":{"conv_id":"c1","turn_idx":0,'
+           '"role":"user","text":"hi","tool":"calc"}}')
+    patch = ('{"ts":{"$timestamp":{"t":1767225602,"i":2}},"op":"u",'
+             '"ns":"app.transcripts","o":{"$set":{"text":"edited"}},'
+             '"o2":{"conv_id":"c1","turn_idx":0}}')
+    (tmp_path / "b0.jsonl").write_text(ins + "\n")
+    (tmp_path / "b1.jsonl").write_text(patch + "\n")
+    tbl = str(tmp_path / "tbl")
+    assert main(["create", "--table", tbl]) == 0
+    for i in range(2):
+        assert main([
+            "ingest", "--envelopes", str(tmp_path / f"b{i}.jsonl"),
+            "--dialect", "mongo", "--table", tbl, "--batch-id", str(i),
+            "--source-table", "transcripts",
+        ]) == 0
+    capsys.readouterr()
+    assert main(["state", "--table", tbl, "--limit", "5"]) == 0
+    out = [_json.loads(x) for x in
+           capsys.readouterr().out.strip().splitlines()]
+    # untouched cells survive the sparse update: the cell merge ran
+    assert (out[0]["role"], out[0]["text"], out[0]["tool"]) == (
+        "user", "edited", "calc")
+    t2 = ParquetLakeTarget(spark, str(tmp_path / "tbl2"))
+    t2.create()
+    with _pytest.raises(ValueError, match="sparse"):
+        run_stream(spark, str(tmp_path), t2, str(tmp_path / "ck"),
+                   cfg=CDCConfig(), envelope_dialect="mongo")
+    t2.drop()
+
+
 def test_cli_ingest_envelopes_any_dialect(spark, tmp_path, capsys):
     """`run ingest`: raw wire-format JSON lines → parse → exactly-once
     MERGE, end-to-end through the CLI. Batch 0 arrives as Canal flat
@@ -934,7 +1028,7 @@ def test_malformed_envelopes_reach_dead_letter_not_dropped(spark):
     from kettle_jena_plugins_spark.sources.envelopes import parse_envelope
 
     garbage = '{"truncated": '
-    for dialect in ("maxwell", "wal2json", "canal", "dms"):
+    for dialect in ("maxwell", "wal2json", "canal", "dms", "mongo"):
         raw = spark.createDataFrame([(garbage,)], "value string")
         out = parse_envelope(raw, dialect, table="transcripts").collect()
         assert len(out) == 1 and out[0]["op"] is None, dialect
@@ -973,7 +1067,8 @@ def test_envelope_schema_evolution_all_dialects(spark):
         ],
         CHANGE_EVENT_SCHEMA_V2,
     )
-    for dialect in ("debezium", "maxwell", "wal2json", "canal", "dms"):
+    for dialect in ("debezium", "maxwell", "wal2json", "canal", "dms",
+                    "mongo"):
         env = render_envelope(ch, dialect)
         back = (
             parse_envelope(env, dialect, payload_schema=ps)
