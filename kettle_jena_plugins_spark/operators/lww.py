@@ -92,6 +92,7 @@ def lww_reduce_partial(
     set_col: str = "set_cols",
     payload: Sequence[str] | None = None,
     salt_buckets: int | None = None,
+    emit_set_col: str | None = None,
 ) -> DataFrame:
     """Column-level LWW for PARTIAL row images (sparse updates).
 
@@ -134,6 +135,11 @@ def lww_reduce_partial(
     tombstone rows are what lets the lake sink (merge_batch
     partial_set_col) retain delete markers; ``lww_state_partial`` below
     is the deletes-dropped final-state view.
+
+    ``emit_set_col``: also emit the REDUCED batch-level mask — the cells
+    this key's visible (post-tombstone) writes actually set. A MERGE
+    sink needs it to know which target cells to overwrite vs keep
+    (targets/iceberg.py merge_into_partial_sql).
     """
     if payload is None:
         payload = [
@@ -189,11 +195,28 @@ def lww_reduce_partial(
         for c in payload
     ]
     winner = F.when(live, F.col("__live")).otherwise(F.col("__del"))
+    extra = []
+    if emit_set_col is not None:
+        written = [
+            F.when(
+                live
+                & F.col(f"__w_{c}").isNotNull()
+                & visible(F.col(f"__w_{c}")["o"]),
+                F.lit(c),
+            ).otherwise(F.lit(None).cast("string"))
+            for c in payload
+        ]
+        extra = [
+            F.filter(F.array(*written), lambda x: x.isNotNull()).alias(
+                emit_set_col
+            )
+        ]
     return g.select(
         *keys,
         F.when(live, F.lit("U")).otherwise(F.lit("D")).alias("op"),
         *[winner[c].alias(c) for c in order],
         *cells,
+        *extra,
     )
 
 

@@ -118,6 +118,59 @@ def merge_into_sql(
     )
 
 
+def merge_into_partial_sql(
+    table: str,
+    payload: Sequence[str],
+    merge_keys: Sequence[str] = MERGE_KEYS,
+    source_view: str = "_cdc_batch",
+    set_col: str = "set_cols",
+) -> str:
+    """Cell-level MERGE INTO for PARTIAL row images (sparse updates).
+
+    The source view holds ONE row per key, pre-reduced by
+    operators/lww.lww_reduce_partial(emit_set_col=set_col): the batch's
+    resolved cells plus the batch-level mask of cells its visible
+    (post-tombstone) writes actually set. Semantics per target row:
+
+    - matched + LWW-newer: overwrite ONLY masked cells; unmasked cells
+      keep the target value — UNLESS the target row is a tombstone, in
+      which case they become NULL (revival keeps only the batch's own
+      cells, matching the lake's cell merge,
+      parquet_lake.merge_batch partial_set_col);
+    - not matched: insert the resolved cells (unmasked ones are already
+      null in the reduced source);
+    - the LWW guard stays ROW-granular (struct(s.ts, s.lsn) >
+      struct(t.ts, t._lsn)) — the documented cross-batch contract: a
+      late cell write older than the committed row version is a no-op.
+
+    Partial merges require soft deletes: a hard-deleted key loses both
+    its LWW anchor and the tombstone that shadows pre-delete cells, so
+    there is deliberately no hard_delete variant of this builder.
+    """
+    on = " AND ".join(f"t.{k} = s.{k}" for k in merge_keys)
+    cell_sets = [
+        f"t.{c} = CASE WHEN array_contains(s.{set_col}, '{c}') THEN s.{c} "
+        f"WHEN t._deleted THEN NULL ELSE t.{c} END"
+        for c in payload
+    ]
+    set_cols = ", ".join(
+        cell_sets
+        + ["t.ts = s.ts", "t._lsn = s.lsn", "t._deleted = (s.op = 'D')"]
+    )
+    ins_cols = ", ".join([*merge_keys, *payload, "ts", "_lsn", "_deleted"])
+    ins_vals = ", ".join(
+        [f"s.{k}" for k in merge_keys]
+        + [f"s.{c}" for c in payload]
+        + ["s.ts", "s.lsn", "(s.op = 'D')"]
+    )
+    lww = "struct(s.ts, s.lsn) > struct(t.ts, t._lsn)"
+    return (
+        f"MERGE INTO {table} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED AND {lww} THEN UPDATE SET {set_cols} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
 def evolution_ddl(
     table: str, current: T.StructType, new_schema: T.StructType
 ) -> list[str]:
@@ -185,14 +238,31 @@ class IcebergTarget:
             .drop("_lsn", "_deleted")
         )
 
-    def merge_batch(self, reduced: DataFrame, batch_id: int, stream_id: str = "default"):
+    def merge_batch(
+        self,
+        reduced: DataFrame,
+        batch_id: int,
+        stream_id: str = "default",
+        partial_set_col: str | None = None,
+    ):
         """One LWW-reduced micro-batch → MERGE INTO keyed on (conv_id,
         turn_idx), LWW-guarded on (ts, lsn) so late replays are no-ops.
 
         Commit sequence (plan-level-pinned): idempotence gate (stream lineage
-        + batch-id) → MERGE → watermark + batch-id properties commit."""
+        + batch-id) → MERGE → watermark + batch-id properties commit.
+
+        ``partial_set_col``: ``reduced`` came from
+        lww_reduce_partial(emit_set_col=...) — sparse row images, one row
+        per key with the batch mask — and the MERGE overwrites only masked
+        cells (merge_into_partial_sql). Requires soft deletes."""
         from .parquet_lake import MergeResult  # shared result type
 
+        if partial_set_col is not None and self.hard_delete:
+            raise ValueError(
+                "partial merges require soft deletes: a hard-deleted key "
+                "loses the LWW anchor and the tombstone that shadows "
+                "pre-delete cells"
+            )
         row = self.spark.sql(f"SHOW TBLPROPERTIES {self.table} ('cdc.stream-id')")
         props = {r["key"]: r["value"] for r in row.collect()}
         same_lineage = props.get("cdc.stream-id") == stream_id
@@ -200,15 +270,21 @@ class IcebergTarget:
             return MergeResult(batch_id=batch_id, applied=False)
 
         payload = [
-            c for c in reduced.columns if c not in (*MERGE_KEYS, "op", "lsn", "ts")
+            c
+            for c in reduced.columns
+            if c not in (*MERGE_KEYS, "op", "lsn", "ts", partial_set_col)
         ]
         reduced.createOrReplaceTempView("_cdc_batch")
         try:
-            self.spark.sql(
-                merge_into_sql(
+            if partial_set_col is not None:
+                sql = merge_into_partial_sql(
+                    self.table, payload, MERGE_KEYS, set_col=partial_set_col
+                )
+            else:
+                sql = merge_into_sql(
                     self.table, payload, MERGE_KEYS, hard_delete=self.hard_delete
                 )
-            )
+            self.spark.sql(sql)
         finally:
             # per-batch temp-view cleanup (the reference's model.close()
             # resource lifecycle, JenaSerializerStepData.java:60-63)

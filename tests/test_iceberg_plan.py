@@ -69,6 +69,72 @@ def test_merge_sql_hard_delete_golden():
     assert sql.index("THEN DELETE") < sql.index("THEN UPDATE")
 
 
+def test_merge_sql_partial_golden():
+    """Cell-level partial MERGE: masked cells overwrite, unmasked keep the
+    target value unless the target is a tombstone (revival keeps only the
+    batch's cells); row-granular LWW guard; no hard-delete form exists."""
+    from kettle_jena_plugins_spark.targets.iceberg import (
+        merge_into_partial_sql,
+    )
+
+    assert merge_into_partial_sql(TBL, ["role", "text"]) == (
+        "MERGE INTO lake.cdc.transcripts t USING _cdc_batch s "
+        "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx "
+        "WHEN MATCHED AND struct(s.ts, s.lsn) > struct(t.ts, t._lsn) "
+        "THEN UPDATE SET "
+        "t.role = CASE WHEN array_contains(s.set_cols, 'role') THEN s.role "
+        "WHEN t._deleted THEN NULL ELSE t.role END, "
+        "t.text = CASE WHEN array_contains(s.set_cols, 'text') THEN s.text "
+        "WHEN t._deleted THEN NULL ELSE t.text END, "
+        "t.ts = s.ts, t._lsn = s.lsn, t._deleted = (s.op = 'D') "
+        "WHEN NOT MATCHED THEN INSERT "
+        "(conv_id, turn_idx, role, text, ts, _lsn, _deleted) "
+        "VALUES (s.conv_id, s.turn_idx, s.role, s.text, s.ts, s.lsn, "
+        "(s.op = 'D'))"
+    )
+
+
+def test_partial_merge_rejects_hard_delete_and_emits_partial_sql(
+    spark, monkeypatch
+):
+    """merge_batch(partial_set_col=...) must route through the partial
+    builder (CASE-masked SET clauses in the recorded MERGE), exclude the
+    mask from the payload columns, and refuse hard_delete."""
+    import datetime as dt
+
+    from kettle_jena_plugins_spark.operators.lww import lww_reduce_partial
+
+    rows = [
+        ("U", 2, dt.datetime(2026, 1, 1, 0, 0, 2), "c1", 0,
+         None, "edited", None, ["text"]),
+    ]
+    schema = (
+        "op string, lsn long, ts timestamp, conv_id string, turn_idx int, "
+        "role string, text string, tool string, set_cols array<string>"
+    )
+    reduced = lww_reduce_partial(
+        spark.createDataFrame(rows, schema), emit_set_col="set_cols"
+    )
+
+    tgt = IcebergTarget(spark, table=TBL, n_buckets=4, hard_delete=True)
+    with pytest.raises(ValueError, match="soft deletes"):
+        tgt.merge_batch(reduced, 0, partial_set_col="set_cols")
+
+    tgt = IcebergTarget(spark, table=TBL, n_buckets=4)
+    rec = _Recorder(spark, {})
+    monkeypatch.setattr(tgt.spark, "sql", rec, raising=False)
+    res = tgt.merge_batch(reduced, 0, partial_set_col="set_cols")
+    monkeypatch.undo()
+    assert res.applied
+    merge = next(s for s in rec.stmts if s.startswith("MERGE"))
+    assert "array_contains(s.set_cols, 'text')" in merge
+    assert "WHEN t._deleted THEN NULL" in merge
+    # the mask itself must never be a MERGE payload column (it appears
+    # only inside array_contains guards)
+    assert "t.set_cols" not in merge
+    assert ", set_cols" not in merge.split("INSERT")[1]
+
+
 def test_evolution_ddl_add_and_widen():
     new = T.StructType(
         SCHEMA.fields
