@@ -467,8 +467,10 @@ class ParquetLakeTarget:
         the reduce as full-image writes at their committed (ts, lsn), so a
         sparse update inherits every untouched cell. Consequences, by design:
         - there is no no-read fast path — partial images NEED the old row,
-          so even MOR tables take the read-union-rewrite route here (the
-          rewrite doubles as a compaction of the affected buckets);
+          so the affected buckets are always read. COW tables rewrite them;
+          MOR tables append a delta layer holding ONLY the touched keys'
+          resolved rows (untouched keys stay in their existing layers, and
+          the layer stack compacts past compact_threshold as usual);
         - cell resolution is exact within a batch; ACROSS batches a late
           cell write resolves against the row's committed version at ROW
           granularity (the lake stores row versions, not per-cell versions —
@@ -555,6 +557,13 @@ class ParquetLakeTarget:
         batch_events = batch.drop("_b").select(*ev_cols)
 
         n_compacted = 0
+        # partial + MOR table: append a delta layer of ONLY the touched
+        # keys' resolved rows instead of rewriting whole buckets — the
+        # read-side whole-row resolution (_resolve) layers them correctly
+        # because a resolved row's (ts, _lsn) is >= every older version's
+        # (a batch of purely-stale events resolves to a byte-identical
+        # copy of the committed row, so even that tie is harmless)
+        partial_layering = partial_set_col is not None and self.mode == "mor"
         # union current bucket contents (tombstones incl.) with the batch
         target = self.read_internal(buckets=affected, resolve=False)
         as_events = target.select(
@@ -566,6 +575,14 @@ class ParquetLakeTarget:
             *MERGE_KEYS,
             *[F.col(c) for c in cell_cols],
         )
+        if partial_layering:
+            # the delta layer only needs the batch's keys; untouched keys
+            # stay in their existing layers untouched
+            as_events = as_events.join(
+                batch_events.select(*MERGE_KEYS).distinct(),
+                list(MERGE_KEYS),
+                "left_semi",
+            )
         if partial_set_col is not None:
             # committed rows are RESOLVED states: they enter the cell
             # reduce as full-image writes at their committed (ts, lsn)
@@ -597,9 +614,22 @@ class ParquetLakeTarget:
 
         new_buckets = {b: dict(e) for b, e in m["buckets"].items()}
         for b, files in files_by_bucket.items():
-            new_buckets[b] = {
-                "layers": [{"files": files, "schema_id": m["current_schema_id"]}]
-            }
+            layer = {"files": files, "schema_id": m["current_schema_id"]}
+            if partial_layering and b in new_buckets:
+                new_buckets[b]["layers"] = new_buckets[b]["layers"] + [layer]
+            else:
+                new_buckets[b] = {"layers": [layer]}
+        if partial_layering:
+            over = [
+                int(b)
+                for b, e in new_buckets.items()
+                if len(e["layers"]) > self.compact_threshold
+            ]
+            if over:
+                new_buckets.update(
+                    self._compact_layers(new_buckets, over, cur_schema)
+                )
+                n_compacted = len(over)
 
         res = MergeResult(
             batch_id=batch_id,
