@@ -20,7 +20,8 @@ Commands:
   changes  --table DIR --from-version A --to-version B     net changelog read
            between two committed snapshots (incremental consumption);
            with --emit-dialect D --out DIR, writes it as wire-format
-           JSON lines (changelog fan-out: the lake as a CDC SOURCE)
+           JSON lines (changelog fan-out: the lake as a CDC SOURCE);
+           --sparse (mongo only) emits minimal $set/$unset cell patches
   maintain --table DIR [--keep-last N]                     expire old snapshots
            and reclaim unreferenced data files
   ann      {build|probe|append} --vectors PATH --index DIR
@@ -165,6 +166,11 @@ def main(argv: list[str] | None = None) -> int:
                     "lines in this dialect (changelog fan-out)")
     ch.add_argument("--out", default=None,
                     help="output dir for --emit-dialect JSON lines")
+    ch.add_argument("--sparse", action="store_true",
+                    help="emit MINIMAL cell patches (only the columns whose "
+                    "value changed between the snapshots) — requires "
+                    "--emit-dialect mongo, the sparse-capable wire format "
+                    "($set/$unset operations)")
 
     mt = sub.add_parser("maintain")
     mt.add_argument("--table", required=True)
@@ -372,8 +378,13 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("--emit-dialect requires --out")
             from .sources.envelopes import render_envelope
 
+            if args.sparse and args.emit_dialect != "mongo":
+                ap.error("--sparse requires --emit-dialect mongo (other "
+                         "renderers would treat the mask as a payload "
+                         "column)")
             ev = tgt.changelog_as_events(
-                args.from_version, args.to_version
+                args.from_version, args.to_version,
+                sparse_col="set_cols" if args.sparse else None,
             ).cache()  # one changelog computation for count + write
             n = ev.count()
             env = render_envelope(ev, args.emit_dialect)

@@ -284,7 +284,9 @@ class ParquetLakeTarget:
         df = self.read_internal(version=version)
         return df.filter(~F.col("_deleted")).drop(*INTERNAL_COLS)
 
-    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+    def changes_between(
+        self, v_from: int, v_to: int, keep_old_payload: bool = False
+    ) -> DataFrame:
         """Key-level NET changelog between two committed snapshots — the
         incremental-consumption read (Iceberg changelog-scan analogue): one
         row per key whose visible state differs, with `_change_op` ∈
@@ -295,11 +297,27 @@ class ParquetLakeTarget:
 
         Scale shape: two bucket-pruned snapshot reads, each LWW-resolved to
         one row per key, then ONE full-outer key join; cost is O(keys
-        touched by the layers involved), never O(events)."""
-        old = self.read_internal(resolve=True, version=v_from).select(
+        touched by the layers involved), never O(events).
+
+        ``keep_old_payload``: also carry the OLD snapshot's payload values
+        as ``__old_<col>`` columns — what the sparse changelog fan-out
+        (changelog_as_events sparse_col) diffs against to emit minimal
+        cell patches."""
+        old_snap = self.read_internal(resolve=True, version=v_from)
+        old_extra = (
+            [
+                F.col(c).alias(f"__old_{c}")
+                for c in old_snap.columns
+                if c not in (*MERGE_KEYS, *INTERNAL_COLS)
+            ]
+            if keep_old_payload
+            else []
+        )
+        old = old_snap.select(
             *MERGE_KEYS,
             F.col("_lsn").alias("_lsn_old"),
             F.col("_deleted").alias("_del_old"),
+            *old_extra,
         )
         new = self.read_internal(resolve=True, version=v_to)
         j = new.join(old, list(MERGE_KEYS), "full_outer")
@@ -319,25 +337,64 @@ class ParquetLakeTarget:
             .drop("_lsn_old", "_del_old")
         )
 
-    def changelog_as_events(self, v_from: int, v_to: int) -> DataFrame:
+    def changelog_as_events(
+        self, v_from: int, v_to: int, sparse_col: str | None = None
+    ) -> DataFrame:
         """``changes_between`` re-shaped as canonical change events
         (op/lsn/ts + payload) — the changelog fan-OUT read: render with
         sources/envelopes.render_envelope to feed a downstream consumer
-        that speaks Debezium/Maxwell/wal2json/Canal, so the lake can be
-        the SOURCE of a CDC chain as well as its sink. Net-effect
-        semantics are inherited: intermediate flips inside the range
-        collapse, so a consumer applying this stream under the same
-        (ts, lsn) LWW order converges to this table's v_to state."""
-        cl = self.changes_between(v_from, v_to)
+        that speaks Debezium/Maxwell/wal2json/Canal/DMS/Mongo, so the
+        lake can be the SOURCE of a CDC chain as well as its sink.
+        Net-effect semantics are inherited: intermediate flips inside
+        the range collapse, so a consumer applying this stream under
+        the same (ts, lsn) LWW order converges to this table's v_to
+        state.
+
+        ``sparse_col``: also emit a set-columns mask holding ONLY the
+        cells whose value changed between the snapshots (U rows; I =
+        every cell, D = none) — minimal patches for sparse-capable
+        downstream consumers: rendered through the mongo dialect they
+        become $set/$unset operations, and a consumer applying them
+        through its own cell-level merge converges identically
+        (tests/test_changelog_cascade.py). Only the mongo renderer
+        consumes the mask — other dialect renderers would treat it as a
+        payload column, so the CLI gates --sparse to --emit-dialect
+        mongo."""
+        cl = self.changes_between(
+            v_from, v_to, keep_old_payload=sparse_col is not None
+        )
         payload = [
             c
             for c in cl.columns
             if c not in ("_lsn", "_deleted", "_change_op")
+            and not c.startswith("__old_")
         ]
+        extra = []
+        if sparse_col is not None:
+            cells = [c for c in payload if c not in (*MERGE_KEYS, "ts")]
+            changed = [
+                F.when(
+                    ~F.col(c).eqNullSafe(F.col(f"__old_{c}")), F.lit(c)
+                ).otherwise(F.lit(None).cast("string"))
+                for c in cells
+            ]
+            all_cells = F.array(*[F.lit(c) for c in cells])
+            mask = (
+                F.when(F.col("_change_op") == "I", all_cells)
+                .when(
+                    F.col("_change_op") == "D",
+                    F.array().cast("array<string>"),
+                )
+                .otherwise(
+                    F.filter(F.array(*changed), lambda x: x.isNotNull())
+                )
+            )
+            extra = [mask.alias(sparse_col)]
         return cl.select(
             F.col("_change_op").alias("op"),
             F.col("_lsn").alias("lsn"),
             *[F.col(c) for c in payload],
+            *extra,
         )
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:

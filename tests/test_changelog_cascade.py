@@ -98,6 +98,56 @@ def test_changelog_envelope_fanout_cascade(spark, tmp_path):
     assert table_state(src.read()) == table_state(lww_state(ev))
 
 
+def test_sparse_changelog_mongo_cascade(spark, tmp_path):
+    """The fully-sparse CDC chain: lake A's net changelog emitted as
+    MINIMAL mongo $set/$unset patches (changelog_as_events sparse_col —
+    only the cells whose value changed between snapshots), parsed back
+    by a downstream consumer and applied through ITS cell-level merge —
+    lake B converges to A's exact state. The mask itself is pinned:
+    U rows carry only changed cells, I rows all, D rows none."""
+    from kettle_jena_plugins_spark.sources.envelopes import (
+        parse_envelope,
+        render_envelope,
+    )
+
+    ev = gen_change_events(spark, 4000, n_convs=60, dup_frac=0.05,
+                           ooo_frac=0.2)
+    src = ParquetLakeTarget(spark, str(tmp_path / "src"), n_buckets=4)
+    src.create()
+    v_prev = src.manifest()["version"]
+    deltas = []
+    for i, (lo, hi) in enumerate([(0, 2000), (2000, 4000)]):
+        b = ev.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        apply_batch(src, b, i, CDCConfig(normalize=False))
+        v_now = src.manifest()["version"]
+        deltas.append((v_prev, v_now))
+        v_prev = v_now
+
+    # mask semantics on the second delta (first is all-inserts)
+    va, vb = deltas[1]
+    sparse = src.changelog_as_events(va, vb, sparse_col="set_cols")
+    for r in sparse.collect():
+        if r["op"] == "I":
+            assert sorted(r["set_cols"]) == ["role", "text", "tool"]
+        elif r["op"] == "D":
+            assert r["set_cols"] == []
+        else:
+            assert r["set_cols"], "U row with an empty change mask"
+
+    dst = ParquetLakeTarget(spark, str(tmp_path / "dst"), n_buckets=2)
+    dst.create()
+    cfg = CDCConfig(normalize=False, partial_set_col="set_cols")
+    for i, (va, vb) in enumerate(deltas):
+        env = render_envelope(
+            src.changelog_as_events(va, vb, sparse_col="set_cols"), "mongo"
+        )
+        delta = parse_envelope(env, "mongo", table="transcripts")
+        apply_batch(dst, delta, i, cfg)
+
+    assert table_state(src.read()) == table_state(dst.read())
+    assert table_state(src.read()) == table_state(lww_state(ev))
+
+
 def test_randomized_replay_converges(spark, tmp_path):
     """Seeded chaos: random batch boundaries, every batch re-applied a
     random number of times (same id → idempotent skip), plus a whole-log
