@@ -470,6 +470,28 @@ def q_cdc_mongo_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_sparse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for PARTIAL-image streams: per op, how sparse are
+    the updates — events, total cells written, and per-column write
+    counts (the mask-density stats an operator watches to decide whether
+    a source should ship full images instead; see BENCH.md's partial
+    merge cost section). One hash agg over the masked fixture."""
+    sp = _sparse_events(change_events(spark, sf_dir))
+
+    def wrote(c):
+        return F.sum(
+            F.when(F.array_contains(F.col("set_cols"), c), 1).otherwise(0)
+        ).alias(f"n_{c}_writes")
+
+    return sp.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.size("set_cols")).alias("cells_written"),
+        wrote("role"),
+        wrote("text"),
+        wrote("tool"),
+    )
+
+
 def q_cdc_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order accounting per conversation shard: how many events arrive
     with an event time below the shard's running maximum (WAL/lsn order), and
@@ -1853,6 +1875,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_dms_parse": q_cdc_dms_parse,
     "cdc_lww_partial": q_cdc_lww_partial,
     "cdc_mongo_parse": q_cdc_mongo_parse,
+    "cdc_sparse_profile": q_cdc_sparse_profile,
     "cdc_lww_state_window": q_cdc_lww_state_window,
     "cdc_final_op_counts": q_cdc_final_op_counts,
     "cdc_lag_metrics": q_cdc_lag_metrics,
@@ -3486,6 +3509,25 @@ SELECT conv_id, turn_idx,
        live_o.lsn AS last_lsn
 FROM a
 WHERE live_o IS NOT NULL AND (del_o IS NULL OR live_o > del_o)
+""",
+    # cdc_sparse_profile: mask-density stats over the deterministic sparse
+    # fixture — the selectors mirror _sparse_events verbatim.
+    "cdc_sparse_profile": f"""
+WITH {CHANGES_ORACLE_CTE},
+p AS (
+    SELECT op,
+           CASE WHEN op='I' OR (op='U' AND lsn%2=0) THEN 1 ELSE 0 END AS w_role,
+           CASE WHEN op='I' OR (op='U' AND lsn%3>0) THEN 1 ELSE 0 END AS w_text,
+           CASE WHEN op='I' OR (op='U' AND lsn%5<3) THEN 1 ELSE 0 END AS w_tool
+    FROM changes
+)
+SELECT op,
+       COUNT(*) AS n_events,
+       CAST(SUM(w_role + w_text + w_tool) AS BIGINT) AS cells_written,
+       CAST(SUM(w_role) AS BIGINT) AS n_role_writes,
+       CAST(SUM(w_text) AS BIGINT) AS n_text_writes,
+       CAST(SUM(w_tool) AS BIGINT) AS n_tool_writes
+FROM p GROUP BY op
 """,
     # cdc_mongo_parse: the oplog coarsens ts to SECONDS (BSON-Timestamp t)
     # with the ordinal i — i.e. the original lsn — carrying intra-second
